@@ -1,5 +1,22 @@
 package graft
+
+import scala.collection.mutable.LinkedHashMap
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.eval.Metrics
+import graft.pipe.{Blocking, Cluster, Normalize, Threshold}
+import graft.sim.Scorer
+
+/**
+ * Benchmark main (driver contract): runs the flagship linkage pipeline
+ * stage by stage on `SPARK_GRAFT_SF_DIR` at `local[SPARK_GRAFT_CPUS]`
+ * and prints ONE JSON line. Headline metric: total seconds across
+ * stages; also reports candidate-pairs-scored/sec (the north-rule
+ * throughput unit). Run at SPARK_GRAFT_CPUS=8 and =32 on the same
+ * input to evidence the N vs 4N scaling criterion (BASELINE.md §5).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,70 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local testdata is one parquet file per table; split it so the
+      // scan+normalize stage parallelizes like a many-file prod table
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val times = LinkedHashMap[String, Double]()
+    def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      times(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Stage 1: synthetic records + normalization + sha + block keys
+    val keyed = Blocking.withBlockKey(Normalize(gen.Synth.records(spark, sfDir)))
+      .persist()
+    val nRecords = time("q_records_keyed")(keyed.count())
+
+    // Stage 2: salted blocking self-join (candidate generation)
+    val cand = Blocking.candidates(keyed)
+    val nPairs = time("q_blocking_join")(cand.count())
+
+    // Stage 3: pairwise scoring (mapPartitions: JW + Levenshtein +
+    // broadcast-matrix cosine) — the throughput headline
+    val scored = Scorer.scoreDF(cand, Scorer.broadcastProjection(spark)).persist()
+    time("q_score_pairs")(scored.count())
+
+    // Stage 4: single-pass threshold sweep on the train split
+    val dist = lit(1.0) - col("score")
+    val train = scored.filter(col("split_a") === "train" && col("split_b") === "train")
+    val theta = time("q_threshold_sweep")(
+      Threshold.bestTheta(train, dist, col("label")))
+
+    // Stage 5: match edges + large-star/small-star connected components
+    val nClusters = time("q_connected_components") {
+      val edges = scored.filter(dist <= theta)
+        .select(col("idA").as("src"), col("idB").as("dst"))
+      Cluster.assign(keyed.select("id"), edges)
+        .select(countDistinct("cluster")).head().getLong(0)
+    }
+
+    // Stage 6: evaluation aggregations
+    val test = scored.filter(col("split_a") === "test" && col("split_b") === "test")
+    val f1 = time("q_eval_metrics") {
+      val pm = Metrics.pairMetrics(test, (dist <= theta).cast("int"), col("label")).head()
+      Metrics.irMetrics(test, dist, col("label")).head()
+      pm.getAs[Double]("f1")
+    }
+
+    val total = times.values.sum
+    val scoreSec = times("q_score_pairs")
+    val pairsPerSec = if (scoreSec > 0) nPairs / scoreSec else 0.0
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"flagship_pipeline_total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
+      s""""n_records":$nRecords,"n_candidate_pairs":$nPairs,""" +
+      f""""pairs_scored_per_sec":$pairsPerSec%.1f,"theta":$theta,"test_f1":$f1,""" +
+      s""""n_clusters":$nClusters}""")
     spark.stop()
   }
 }

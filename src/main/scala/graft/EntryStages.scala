@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.eval.Metrics
+import graft.functions.GraftFunctions
+import graft.gen.Synth
+import graft.pipe.{Blocking, Normalize, Threshold}
+
+/**
+ * Shared stage builders for [[SparkEntry.queries]]: the
+ * oracle-checkable (column-expression) variant of the pipeline. The
+ * `mapPartitions` scorer path lives in [[graft.sim.Scorer]] and is
+ * asserted equal to this path in the test suite.
+ */
+object EntryStages {
+
+  def records(spark: SparkSession, sfDir: String): DataFrame =
+    Synth.records(spark, sfDir)
+
+  def keyed(spark: SparkSession, sfDir: String): DataFrame =
+    Blocking.withBlockKey(Normalize(records(spark, sfDir)))
+
+  def cand(spark: SparkSession, sfDir: String): DataFrame =
+    Blocking.candidates(keyed(spark, sfDir))
+
+  /**
+   * Portable per-pair features: Jaro-Winkler via the custom Catalyst
+   * expression (whole-stage codegen), Levenshtein via Spark's built-in,
+   * normalized by max length (SURVEY.md §2.10).
+   */
+  def feats(spark: SparkSession, sfDir: String): DataFrame =
+    cand(spark, sfDir)
+      .withColumn("jw",
+        GraftFunctions.jaro_winkler(col("content_a"), col("content_b")))
+      .withColumn("lev",
+        lit(1.0) - levenshtein(col("content_a"), col("content_b")) /
+          greatest(length(col("content_a")), length(col("content_b"))))
+      .withColumn("label", (col("dni_a") === col("dni_b")).cast("long"))
+
+  /** Adds the portable combined distance 1 - (0.4*jw + 0.6*lev). */
+  def scoredp(spark: SparkSession, sfDir: String): DataFrame =
+    feats(spark, sfDir).withColumn("dist",
+      lit(1.0) - (lit(0.4) * col("jw") + lit(0.6) * col("lev")))
+
+  def trainPairs(df: DataFrame): DataFrame =
+    df.filter(col("split_a") === "train" && col("split_b") === "train")
+
+  def testPairs(df: DataFrame): DataFrame =
+    df.filter(col("split_a") === "test" && col("split_b") === "test")
+
+  def sweep(spark: SparkSession, sfDir: String): DataFrame =
+    Threshold.sweep(trainPairs(scoredp(spark, sfDir)), col("dist"), col("label"))
+
+  def bestRow(spark: SparkSession, sfDir: String): DataFrame =
+    Threshold.best(trainPairs(scoredp(spark, sfDir)), col("dist"), col("label"))
+
+  def theta(spark: SparkSession, sfDir: String): Double =
+    Threshold.bestTheta(trainPairs(scoredp(spark, sfDir)), col("dist"), col("label"))
+
+  def matchEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = theta(spark, sfDir)
+    scoredp(spark, sfDir).filter(col("dist") <= t)
+      .select(col("idA").as("src"), col("idB").as("dst"), col("dist"))
+  }
+
+  def pairMetricsAtTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = theta(spark, sfDir)
+    Metrics.pairMetrics(testPairs(scoredp(spark, sfDir)),
+      (col("dist") <= t).cast("int"), col("label"))
+  }
+
+  def mutualNn(spark: SparkSession, sfDir: String, beta: Int = 100): DataFrame = {
+    val test = testPairs(scoredp(spark, sfDir))
+    val wa = Window.partitionBy("idA").orderBy(col("dist").asc, col("idB").asc)
+    val wb = Window.partitionBy("idB").orderBy(col("dist").asc, col("idA").asc)
+    test.withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") === 1 && col("rb") === 1)
+      .select("idA", "idB", "dist")
+      .orderBy(col("dist").asc, col("idA").asc)
+      .limit(beta)
+  }
+
+  def topkFn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val t = theta(spark, sfDir)
+    scoredp(spark, sfDir)
+      .filter(col("label") === 1 && col("dist") > t)
+      .select("idA", "idB", "dist")
+      .orderBy(col("dist").asc, col("idA").asc, col("idB").asc)
+      .limit(k)
+  }
+
+  def topkFp(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val t = theta(spark, sfDir)
+    scoredp(spark, sfDir)
+      .filter(col("label") === 0 && col("dist") <= t)
+      .select("idA", "idB", "dist")
+      .orderBy(col("dist").asc, col("idA").asc, col("idB").asc)
+      .limit(k)
+  }
+
+  def blockingStats(spark: SparkSession, sfDir: String): DataFrame =
+    cand(spark, sfDir).groupBy("block_key").agg(
+      countDistinct("idA").as("n_a"),
+      countDistinct("idB").as("n_b"),
+      count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("block_key").asc)
+      .limit(20)
+
+  def harmonizeLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("scala", "jvm"), ("java", "jvm"), ("python", "script"),
+      ("rust", "native"), ("go", "native")).toDF("lang", "family")
+    records(spark, sfDir).join(broadcast(dim), "lang")
+      .groupBy("family").agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,13 +1,85 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.oracle.OracleSql
+import graft.pipe.{Blocking, Cluster, Normalize}
+import graft.sim.Scorer
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipeline.summary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- sources / normalization (SURVEY §2.1, §2.2, §2.8) ---
+    "records_synth" -> ((s, d) => EntryStages.records(s, d)),
+    "normalize_sha" -> ((s, d) =>
+      Normalize(EntryStages.records(s, d)).select("id", "content_norm", "sha")),
+    "harmonize_lang" -> ((s, d) => EntryStages.harmonizeLang(s, d)),
+    // --- blocking join / candidate generation (SURVEY §2.3) ---
+    "blocking_keys" -> ((s, d) =>
+      EntryStages.keyed(s, d).select("id", "block_key")),
+    "blocking_pairs" -> ((s, d) =>
+      EntryStages.cand(s, d).select("idA", "idB", "block_key")),
+    "blocking_stats" -> ((s, d) => EntryStages.blockingStats(s, d)),
+    "truth_pairs" -> ((s, d) =>
+      EntryStages.cand(s, d).filter(col("dni_a") === col("dni_b"))
+        .select("idA", "idB")),
+    // --- similarity scoring (SURVEY §2.7) ---
+    "pair_features" -> ((s, d) =>
+      EntryStages.feats(s, d).select("idA", "idB", "jw", "lev", "label")),
+    "scored_pairs_full" -> ((s, d) =>
+      Scorer.scoreDF(EntryStages.cand(s, d), Scorer.broadcastProjection(s))),
+    // --- threshold sweep / decision (SURVEY §2.4) ---
+    "threshold_sweep" -> ((s, d) => EntryStages.sweep(s, d)),
+    "threshold_best" -> ((s, d) => EntryStages.bestRow(s, d)),
+    "match_edges" -> ((s, d) => EntryStages.matchEdges(s, d)),
+    // --- evaluation (SURVEY §2.4, §2.5) ---
+    "pair_metrics" -> ((s, d) => EntryStages.pairMetricsAtTheta(s, d)),
+    "ir_query_facts" -> ((s, d) =>
+      eval.Metrics.irQueryFacts(
+        EntryStages.testPairs(EntryStages.scoredp(s, d)),
+        col("dist"), col("label"))),
+    "ir_metrics" -> ((s, d) =>
+      eval.Metrics.irMetrics(
+        EntryStages.testPairs(EntryStages.scoredp(s, d)),
+        col("dist"), col("label"))),
+    "mutual_nn" -> ((s, d) => EntryStages.mutualNn(s, d)),
+    "topk_fn" -> ((s, d) => EntryStages.topkFn(s, d)),
+    "topk_fp" -> ((s, d) => EntryStages.topkFp(s, d)),
+    // --- transitive closure (SURVEY §7.3; iterative, no SQL oracle) ---
+    "cc_clusters" -> ((s, d) => {
+      val t = EntryStages.theta(s, d)
+      val edges = EntryStages.scoredp(s, d).filter(col("dist") <= t)
+        .select(col("idA").as("src"), col("idB").as("dst"))
+      Cluster.assign(EntryStages.keyed(s, d).select("id"), edges)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "records_synth" -> OracleSql.recordsSynth,
+    "normalize_sha" -> OracleSql.normalizeSha,
+    "harmonize_lang" -> OracleSql.harmonizeLang,
+    "blocking_keys" -> OracleSql.blockingKeys,
+    "blocking_pairs" -> OracleSql.blockingPairs,
+    "blocking_stats" -> OracleSql.blockingStats,
+    "truth_pairs" -> OracleSql.truthPairs,
+    "pair_features" -> OracleSql.pairFeatures,
+    "threshold_sweep" -> OracleSql.thresholdSweep,
+    "threshold_best" -> OracleSql.thresholdBest,
+    "match_edges" -> OracleSql.matchEdges,
+    "pair_metrics" -> OracleSql.pairMetrics,
+    "ir_query_facts" -> OracleSql.irQueryFacts,
+    "ir_metrics" -> OracleSql.irMetrics,
+    "mutual_nn" -> OracleSql.mutualNn,
+    "topk_fn" -> OracleSql.topkFn,
+    "topk_fp" -> OracleSql.topkFp
+  )
 }

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-file local tables: split scans so stages parallelize
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,103 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Pairwise-classification and IR evaluation metrics as distributed
+ * aggregations.
+ *
+ * Reference computes these driver-side over Python lists:
+ * confusion/P/R/F1 (/root/reference/common.py:51-67), P@k / MAP / MRR
+ * (/root/reference/common.py:300-339) with an O(|A|x|B|) membership
+ * scan per query entity. Here: one window per query entity
+ * (partitionBy idA, orderBy distance) + integer aggregations.
+ *
+ * Float discipline: every exported metric derives from integer counts
+ * or integer micro-units (1e-6), never from a floating-point SUM whose
+ * addend order Spark doesn't pin — so results hash-match the DuckDB
+ * oracle bit-for-bit.
+ */
+object Metrics {
+
+  /**
+   * Confusion + precision/recall/F1/accuracy for a predicted match set
+   * vs truth over a candidate universe.
+   *
+   * @param scored one row per candidate pair with `predicted` (bool-ish
+   *               0/1) and `label` (0/1) columns.
+   */
+  def pairMetrics(scored: DataFrame, predicted: Column, label: Column): DataFrame = {
+    val p = predicted.cast("int")
+    val l = label.cast("int")
+    scored.agg(
+      sum(when(p === 1 && l === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(p === 1 && l === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(p === 0 && l === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(p === 0 && l === 0, 1L).otherwise(0L)).as("tn"))
+    .select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fp"))).as("precision"),
+      when(col("tp") + col("fn") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fn"))).as("recall"),
+      when(col("tp") === 0, 0.0)
+        .otherwise(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn"))).as("f1"),
+      ((col("tp") + col("tn")) /
+        (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+  }
+
+  /**
+   * Per-query-entity IR facts: rank candidates of each idA by ascending
+   * distance (ties broken by idB), then reduce to integers —
+   * n_candidates, n_rel, first_rel_rank, hits_at_1, ap_micros (average
+   * precision in 1e-6 units; every addend is an integer, so the sum is
+   * order-independent).
+   */
+  def irQueryFacts(scored: DataFrame, dist: Column, label: Column): DataFrame = {
+    val w = Window.partitionBy("idA").orderBy(dist.asc, col("idB").asc)
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("lbl", label.cast("long"))
+      .withColumn("cum_rel", sum(col("lbl")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // precision@rank at each relevant hit, in micro-units (exact int)
+      .withColumn("prec_micros",
+        when(col("lbl") === 1,
+          round(col("cum_rel") * 1000000.0 / col("rank")).cast("long"))
+          .otherwise(0L))
+    ranked.groupBy("idA").agg(
+      count(lit(1)).as("n_candidates"),
+      sum("lbl").as("n_rel"),
+      coalesce(min(when(col("lbl") === 1, col("rank"))), lit(0L)).as("first_rel_rank"),
+      max(when(col("rank") === 1, col("lbl")).otherwise(0L)).as("hits_at_1"),
+      sum("prec_micros").as("sum_prec_micros"))
+    // floor(), not cast: DuckDB's double->int cast rounds while Spark's
+    // truncates; floor is identical in both engines.
+    .withColumn("ap_micros",
+      when(col("n_rel") === 0, 0L)
+        .otherwise(floor(col("sum_prec_micros") / col("n_rel")).cast("long")))
+    .drop("sum_prec_micros")
+  }
+
+  /**
+   * Global IR metrics over query entities that have >= 1 relevant
+   * candidate (as the reference iterates only entities present in
+   * true_pairs, /root/reference/common.py:282-294):
+   * MRR, MAP, mean P@1.
+   */
+  def irMetrics(scored: DataFrame, dist: Column, label: Column): DataFrame = {
+    val facts = irQueryFacts(scored, dist, label).filter(col("n_rel") > 0)
+      .withColumn("rr_micros",
+        round(lit(1000000.0) / col("first_rel_rank")).cast("long"))
+    facts.agg(
+      count(lit(1)).as("n_queries"),
+      sum("rr_micros").as("srr"),
+      sum("ap_micros").as("sap"),
+      sum("hits_at_1").as("sh1"))
+    .select(col("n_queries"),
+      (col("srr") / col("n_queries") / 1000000.0).as("mrr"),
+      (col("sap") / col("n_queries") / 1000000.0).as("map"),
+      (col("sh1") / col("n_queries")).cast("double").as("p_at_1"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expression `jaro_winkler(left, right): Double`.
+ *
+ * Spark has no built-in Jaro-Winkler (the reference's main string
+ * comparator, /root/reference/data/census.py:148-168), so this is a
+ * custom `BinaryExpression` that stays inside whole-stage codegen: the
+ * generated code makes a single static call into
+ * [[StringSim.jaroWinkler]] — no UDF boxing, no fallback to the
+ * interpreted path.
+ */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSim.jaroWinkler(
+      l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.StringSim.jaroWinkler($l.toString(), $r.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaro_winkler"
+}
+
+/** Column-API entry points for the custom expressions. */
+object GraftFunctions {
+  /** `jaro_winkler(a, b)` as a `Column`, usable in any DataFrame plan. */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Thresholded comparator as in the reference (JW@0.85 -> 0/1). */
+  def jw_hit(a: Column, b: Column, threshold: Double = 0.85): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(jaro_winkler(a, b) >= lit(threshold), 1.0).otherwise(0.0)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+/**
+ * Pure-Scala string-similarity kernels used both by the Catalyst
+ * [[JaroWinkler]] expression (codegen calls these statics) and by the
+ * batched `mapPartitions` pair scorer.
+ *
+ * Semantics mirror the reference's comparator set — Jaro-Winkler with
+ * 0.85 match threshold and exact comparators
+ * (/root/reference/data/census.py:140-168) — with the textbook
+ * Jaro-Winkler definition (Winkler boost only when jaro > 0.7, prefix
+ * capped at 4, scale 0.1), which is also what the DuckDB oracle's
+ * `jaro_winkler_similarity` computes. Arithmetic order is pinned so
+ * results are bit-identical to the oracle:
+ * `(m/|a| + m/|b| + (m-t)/m) / 3` then `j + l*0.1*(1-j)`.
+ */
+object StringSim {
+
+  /** Jaro similarity in [0,1]. Any empty operand -> 0 (DuckDB semantics, incl. ('','') -> 0). */
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](len1)
+    val m2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched chars out of order, halved
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val half = t / 2 // integer halving, as in the common bit-parallel impls
+    (m / len1 + m / len2 + (m - half) / m) / 3.0
+  }
+
+  /** Jaro-Winkler similarity in [0,1]; boost threshold 0.7, prefix <= 4, scale 0.1. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j
+    val maxPrefix = math.min(4, math.min(s1.length, s2.length))
+    var l = 0
+    while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Classic Levenshtein edit distance (two-row DP). */
+  def levenshtein(s1: String, s2: String): Int = {
+    if (s1 == s2) return 0
+    val (a, b) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
+    if (a.isEmpty) return b.length
+    val prev = new Array[Int](a.length + 1)
+    val cur = new Array[Int](a.length + 1)
+    var i = 0
+    while (i <= a.length) { prev(i) = i; i += 1 }
+    var j = 1
+    while (j <= b.length) {
+      cur(0) = j
+      val cb = b.charAt(j - 1)
+      i = 1
+      while (i <= a.length) {
+        val cost = if (a.charAt(i - 1) == cb) 0 else 1
+        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1), prev(i - 1) + cost)
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, a.length + 1)
+      j += 1
+    }
+    prev(a.length)
+  }
+
+  /** Levenshtein similarity: 1 - dist / max(len); both empty -> 1. */
+  def levSim(s1: String, s2: String): Double = {
+    val n = math.max(s1.length, s2.length)
+    if (n == 0) 1.0 else 1.0 - levenshtein(s1, s2).toDouble / n
+  }
+}

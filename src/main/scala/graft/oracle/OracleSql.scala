@@ -1,0 +1,219 @@
+package graft.oracle
+
+import graft.gen.Synth
+
+/**
+ * DuckDB oracle SQL for every SQL-expressible query in
+ * [[graft.SparkEntry.queries]]. Each statement re-derives the synthetic
+ * records table from the same `orders` parquet with portable semantics
+ * (verified: DuckDB v1.0 `jaro_winkler_similarity`/`levenshtein` are
+ * bit-identical to graft's kernels; both engines do IEEE-double
+ * arithmetic on identical inputs).
+ *
+ * Float discipline (so value hashes match): every exported double is a
+ * deterministic function of exact integers or of single-row string
+ * pairs — never a float SUM over an engine-chosen row order.
+ */
+object OracleSql {
+
+  private def ducklist(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared derivation: records -> normalized -> keyed -> candidates ->
+    * portable features/scores -> train sweep -> best threshold. */
+  val prefix: String = s"""WITH enr AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+    CASE WHEN o_custkey % 100 = 0 THEN 'c0'
+         ELSE 'c' || CAST(o_custkey AS VARCHAR) END AS custtok,
+    CASE o_orderstatus WHEN 'F' THEN 'fin' WHEN 'O' THEN 'open'
+         ELSE 'pend' END AS stword,
+    lower(replace(o_orderpriority, '-', ' ')) AS priw,
+    CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS valtok,
+    CAST(o_orderkey AS VARCHAR) AS ktok,
+    list_extract(${ducklist(Synth.W1)}, CAST(o_orderkey % 29 AS INT) + 1) AS w1,
+    list_extract(${ducklist(Synth.W2)}, CAST((o_orderkey * 7 + o_custkey) % 31 AS INT) + 1) AS w2,
+    CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'scala' WHEN 1 THEN 'java'
+         WHEN 2 THEN 'python' WHEN 3 THEN 'rust' ELSE 'go' END AS lang,
+    CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'scala' WHEN 1 THEN 'java'
+         WHEN 2 THEN 'py' WHEN 3 THEN 'rs' ELSE 'go' END AS ext
+  FROM orders
+), contented AS (
+  SELECT *, concat_ws(' ', 'fn', custtok, w1, stword, priw, w2,
+                      'val', valtok, 'k', ktok) AS content_a
+  FROM enr
+), sided AS (
+  SELECT k * 2 AS id, 'A' AS side, k, ck, custtok, lang, ext,
+         content_a AS content
+  FROM contented WHERE k % 17 <> 5
+  UNION ALL
+  SELECT k * 2 + 1 AS id, 'B' AS side, k, ck, custtok, lang, ext,
+    CASE CAST(k % 5 AS INT)
+      WHEN 1 THEN upper(substr(content_a, 1, 2)) || substr(content_a, 3, length(content_a))
+      WHEN 2 THEN replace(content_a, ' val ', '  val ')
+      WHEN 3 THEN substr(content_a, 4, length(content_a))
+      WHEN 4 THEN replace(content_a, ' val ', ' value ')
+      ELSE content_a END AS content
+  FROM contented WHERE k % 19 <> 7
+), records AS (
+  SELECT id, side,
+    'repo' || CAST(ck % 50 AS VARCHAR) AS repo,
+    'src/' || custtok || '/f' || CAST(k AS VARCHAR) || '.' || ext AS path,
+    CASE side WHEN 'A' THEN 'c1' ELSE 'c2' END AS "commit",
+    lang, content, k AS dni,
+    CASE WHEN k % 10 < 6 THEN 'train' WHEN k % 10 < 8 THEN 'val'
+         ELSE 'test' END AS split
+  FROM sided
+), normrec AS (
+  SELECT *, trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) AS content_norm,
+         sha256(content) AS sha
+  FROM records
+), keyed AS (
+  SELECT *, regexp_extract(content_norm, 'c[0-9]+') AS block_key FROM normrec
+), cand AS (
+  SELECT a.id AS idA, b.id AS idB, a.block_key AS block_key,
+         a.content_norm AS content_a, b.content_norm AS content_b,
+         a.dni AS dni_a, b.dni AS dni_b,
+         a.split AS split_a, b.split AS split_b
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key
+  WHERE a.side = 'A' AND b.side = 'B'
+), feats AS (
+  SELECT *,
+    jaro_winkler_similarity(content_a, content_b) AS jw,
+    1.0 - CAST(levenshtein(content_a, content_b) AS DOUBLE)
+        / greatest(length(content_a), length(content_b)) AS lev,
+    CAST(CASE WHEN dni_a = dni_b THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM cand
+), scoredp AS (
+  SELECT *, 1.0 - (0.4::DOUBLE * jw + 0.6::DOUBLE * lev) AS dist FROM feats
+), sweep_buckets AS (
+  SELECT CAST(ceil(dist * 50) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
+  FROM scoredp WHERE split_a = 'train' AND split_b = 'train'
+  GROUP BY 1
+), sweep_cum AS (
+  SELECT bucket / 50.0 AS theta,
+    CAST(SUM(npos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+    CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+    CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
+  FROM sweep_buckets
+), sweep AS (
+  SELECT theta, tp, cum_n - tp AS fp, total_pos - tp AS fn,
+    CASE WHEN tp = 0 THEN 0.0
+         ELSE tp * 2 / (tp * 2 + (cum_n - tp) + (total_pos - tp)) END AS f1
+  FROM sweep_cum
+), best AS (
+  SELECT * FROM sweep ORDER BY f1 DESC, theta ASC LIMIT 1
+)
+"""
+
+  private def q(body: String): String = prefix + body
+
+  val recordsSynth: String = q(
+    """SELECT id, side, repo, path, "commit", lang, content, dni, split FROM records""")
+
+  val normalizeSha: String = q(
+    "SELECT id, content_norm, sha FROM normrec")
+
+  val blockingKeys: String = q(
+    "SELECT id, block_key FROM keyed")
+
+  val blockingPairs: String = q(
+    "SELECT idA, idB, block_key FROM cand")
+
+  val blockingStats: String = q(
+    """SELECT block_key, CAST(COUNT(DISTINCT idA) AS BIGINT) AS n_a,
+       CAST(COUNT(DISTINCT idB) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM cand GROUP BY block_key ORDER BY n_pairs DESC, block_key LIMIT 20""")
+
+  val truthPairs: String = q(
+    "SELECT idA, idB FROM cand WHERE dni_a = dni_b")
+
+  val pairFeatures: String = q(
+    "SELECT idA, idB, jw, lev, label FROM feats")
+
+  val thresholdSweep: String = q(
+    "SELECT theta, tp, fp, fn, f1 FROM sweep")
+
+  val thresholdBest: String = q(
+    "SELECT theta, tp, fp, fn, f1 FROM best")
+
+  val matchEdges: String = q(
+    """SELECT idA AS src, idB AS dst, dist FROM scoredp
+       WHERE dist <= (SELECT theta FROM best)""")
+
+  val pairMetrics: String = q(
+    """, conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN dist <= (SELECT theta FROM best) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN dist <= (SELECT theta FROM best) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN dist >  (SELECT theta FROM best) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN dist >  (SELECT theta FROM best) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scoredp WHERE split_a = 'test' AND split_b = 'test')
+    SELECT tp, fp, fn, tn,
+      CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+      CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+      CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+      (tp + tn) / (tp + fp + fn + tn) AS accuracy
+    FROM conf""".stripMargin)
+
+  private val rankedCte = """, ranked AS (
+      SELECT idA, idB, dist, label,
+        CAST(row_number() OVER (PARTITION BY idA ORDER BY dist, idB) AS BIGINT) AS rank
+      FROM scoredp WHERE split_a = 'test' AND split_b = 'test'
+    ), rankedc AS (
+      SELECT *, CAST(SUM(label) OVER (PARTITION BY idA ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rel
+      FROM ranked
+    ), qfacts AS (
+      SELECT idA,
+        CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        CAST(SUM(label) AS BIGINT) AS n_rel,
+        CAST(coalesce(MIN(CASE WHEN label = 1 THEN rank END), 0) AS BIGINT) AS first_rel_rank,
+        CAST(MAX(CASE WHEN rank = 1 THEN label ELSE 0 END) AS BIGINT) AS hits_at_1,
+        CAST(SUM(CASE WHEN label = 1 THEN CAST(round(cum_rel * 1000000.0 / rank) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_prec_micros
+      FROM rankedc GROUP BY idA
+    ), qfacts2 AS (
+      SELECT idA, n_candidates, n_rel, first_rel_rank, hits_at_1,
+        CASE WHEN n_rel = 0 THEN 0
+             ELSE CAST(floor(sum_prec_micros / n_rel) AS BIGINT) END AS ap_micros
+      FROM qfacts
+    )"""
+
+  val irQueryFacts: String = q(rankedCte +
+    " SELECT idA, n_candidates, n_rel, first_rel_rank, hits_at_1, ap_micros FROM qfacts2")
+
+  val irMetrics: String = q(rankedCte + """, rel AS (
+      SELECT *, CAST(round(1000000.0 / first_rel_rank) AS BIGINT) AS rr_micros
+      FROM qfacts2 WHERE n_rel > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      CAST(SUM(rr_micros) AS BIGINT) / COUNT(*) / 1000000.0 AS mrr,
+      CAST(SUM(ap_micros) AS BIGINT) / COUNT(*) / 1000000.0 AS map,
+      CAST(CAST(SUM(hits_at_1) AS BIGINT) / COUNT(*) AS DOUBLE) AS p_at_1
+    FROM rel""")
+
+  val mutualNn: String = q(""", mnn AS (
+      SELECT idA, idB, dist,
+        row_number() OVER (PARTITION BY idA ORDER BY dist, idB) AS ra,
+        row_number() OVER (PARTITION BY idB ORDER BY dist, idA) AS rb
+      FROM scoredp WHERE split_a = 'test' AND split_b = 'test')
+    SELECT idA, idB, dist FROM mnn WHERE ra = 1 AND rb = 1
+    ORDER BY dist, idA LIMIT 100""")
+
+  val topkFn: String = q(
+    """SELECT idA, idB, dist FROM scoredp
+       WHERE label = 1 AND dist > (SELECT theta FROM best)
+       ORDER BY dist ASC, idA, idB LIMIT 5""")
+
+  val topkFp: String = q(
+    """SELECT idA, idB, dist FROM scoredp
+       WHERE label = 0 AND dist <= (SELECT theta FROM best)
+       ORDER BY dist ASC, idA, idB LIMIT 5""")
+
+  val harmonizeLang: String = q(
+    """SELECT f.family AS family, CAST(COUNT(*) AS BIGINT) AS n
+       FROM records r
+       JOIN (VALUES ('scala','jvm'), ('java','jvm'), ('python','script'),
+                    ('rust','native'), ('go','native')) AS f(lang, family)
+         ON r.lang = f.lang
+       GROUP BY f.family""")
+}

@@ -1,0 +1,82 @@
+package graft.pipe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic blocking: normalized-token block keys + the candidate
+ * self-join, with explicit salting for skewed (hot) blocks.
+ *
+ * Reference semantics: candidate pairs are an inner equi-join of side A
+ * x side B on one blocking key (surname2 / given_name:
+ * /root/reference/data/census.py:86-89, /root/reference/data/febrl.py:88-91).
+ * The reference materializes this with nested Python loops; here it is
+ * a hash equi-join whose hot keys are salted — at 10^12-file scale
+ * token blocks are Zipfian and AQE alone won't split a single build-side
+ * key, so we replicate the B side over `salts` buckets and spread the A
+ * side by a deterministic hash (SURVEY.md §4.3).
+ */
+object Blocking {
+
+  /**
+   * Block key = the first `c<digits>`/`c0` token of the normalized
+   * content. Robust to every dup perturbation (which preserve the
+   * token) — the analogue of FEBRL's given_name key surviving its
+   * perturbations (/root/reference/data/febrl.py:55-71).
+   */
+  def withBlockKey(normalized: DataFrame): DataFrame =
+    normalized.withColumn("block_key",
+      regexp_extract(col("content_norm"), "c[0-9]+", 0))
+
+  /**
+   * Candidate pairs (idA, idB, block_key) from a salted A x B equi-join.
+   * Output is identical to the plain `a.join(b, "block_key")` (the
+   * oracle's formulation); salting only changes the physical plan.
+   *
+   * Skew handling is ADAPTIVE: a cheap pre-aggregation finds the hot
+   * block keys (A-side row count >= hotThreshold); only those are
+   * salted — the A side gets a deterministic per-row salt, the B side
+   * is replicated over all `salts` buckets — so shuffle volume for the
+   * long tail of small blocks stays 1x. The join is forced to a
+   * SHUFFLED hash join: with a naive plan Spark happily broadcasts the
+   * (replicated) build side, which is wrong at any real scale — the
+   * build side grows with the data, unlike a dimension table.
+   *
+   * @param salts        number of salt buckets for each hot key (>=1)
+   * @param hotThreshold A-side rows at which a block counts as hot
+   */
+  def candidates(keyed: DataFrame, salts: Int = 8,
+                 hotThreshold: Int = 500): DataFrame = {
+    require(salts >= 1)
+    val a = keyed.filter(col("side") === "A")
+      .select(col("id").as("idA"), col("block_key"),
+        col("content_norm").as("content_a"), col("dni").as("dni_a"),
+        col("split").as("split_a"))
+    val b = keyed.filter(col("side") === "B")
+      .select(col("id").as("idB"), col("block_key"),
+        col("content_norm").as("content_b"), col("dni").as("dni_b"),
+        col("split").as("split_b"))
+    if (salts == 1) {
+      a.join(b.hint("shuffle_hash"), "block_key")
+    } else {
+      // Hot keys: bounded driver-side set (<= |A| / hotThreshold keys).
+      val hotKeys: Seq[String] = a.groupBy("block_key").count()
+        .filter(col("count") >= hotThreshold)
+        .select("block_key").collect().map(_.getString(0)).toSeq
+      val isHot = col("block_key").isin(hotKeys: _*)
+      val aS = a.withColumn("salt",
+        when(isHot, pmod(hash(col("idA")), lit(salts))).otherwise(lit(0)))
+      val bS = b.withColumn("salt", explode(
+        when(isHot, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      aS.join(bS.hint("shuffle_hash"), Seq("block_key", "salt")).drop("salt")
+    }
+  }
+
+  /**
+   * Convenience: records -> normalized -> keyed -> candidate pairs with
+   * per-pair payload columns used by the scorer.
+   */
+  def candidatePairs(records: DataFrame, salts: Int = 8): DataFrame =
+    candidates(withBlockKey(Normalize(records)), salts)
+}

@@ -1,0 +1,62 @@
+package graft.pipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Single-pass optimal-threshold sweep.
+ *
+ * Reference: `get_optimal_threshold` re-filters the whole scored list
+ * once per grid point (~18-150 passes,
+ * /root/reference/common.py:250-273). Here one bucketed cumulative
+ * window computes F1 for EVERY theta in a single shuffle
+ * (SURVEY.md §2.4): bucket = ceil(dist * invStep); cumulative
+ * (pairs, true pairs) over buckets gives TP/FP/FN per theta.
+ *
+ * All F1 values derive from integer counts, so results are
+ * bit-reproducible and oracle-comparable.
+ */
+object Threshold {
+
+  /**
+   * Full sweep table: (theta, tp, fp, fn, f1) per grid point, for
+   * `dist` in [0, maxDist] at step 1/invStep.
+   */
+  def sweep(scored: DataFrame, dist: Column, label: Column,
+            invStep: Int = 50): DataFrame = {
+    val bucketed = scored.select(
+      ceil(dist * invStep).cast("int").as("bucket"),
+      label.cast("long").as("lbl"))
+    val perBucket = bucketed.groupBy("bucket").agg(
+      count(lit(1)).as("n"), sum("lbl").as("npos"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totPos = sum("npos").over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    perBucket
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("tp", sum("npos").over(w))
+      .withColumn("total_pos", totPos)
+      .select(
+        (col("bucket") / invStep.toDouble).as("theta"),
+        col("tp"),
+        (col("cum_n") - col("tp")).as("fp"),
+        (col("total_pos") - col("tp")).as("fn"))
+      .withColumn("f1",
+        when(col("tp") === 0, 0.0).otherwise(
+          col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn"))))
+  }
+
+  /** Best (theta, f1, tp, fp, fn): max F1, smallest theta on ties. */
+  def best(scored: DataFrame, dist: Column, label: Column,
+           invStep: Int = 50): DataFrame =
+    sweep(scored, dist, label, invStep)
+      .orderBy(desc("f1"), asc("theta"))
+      .limit(1)
+
+  /** The chosen threshold as a Scala value (tiny driver-side fetch). */
+  def bestTheta(scored: DataFrame, dist: Column, label: Column,
+                invStep: Int = 50): Double =
+    best(scored, dist, label, invStep).select("theta").head().getDouble(0)
+}

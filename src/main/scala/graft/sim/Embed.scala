@@ -1,0 +1,98 @@
+package graft.sim
+
+/**
+ * Deterministic char-n-gram feature-hash embeddings.
+ *
+ * Stand-in for the reference's trained TransE/RLTransE embedding
+ * matrices (/root/reference/ER/transe.py:156-158,
+ * /root/reference/VEG/rltranse.py:59-84) with the same *operator
+ * semantics* — cosine distance between dense vectors looked up from a
+ * broadcast matrix inside `mapPartitions` — but reproducible
+ * (SURVEY.md §7.4 v1 decision: the graft metric is cluster/F1
+ * fidelity, not TF weight equality; reference training is
+ * nondeterministic).
+ *
+ * Scale design: the broadcast state is a FIXED-SIZE projection matrix
+ * (`buckets x dim`, ~1 MB), not a per-record or per-token table — a
+ * record's vector is the L2-normalized sum of projection rows indexed
+ * by the FNV-1a hash of its char trigrams. At 10^12 rows the broadcast
+ * cost is unchanged, unlike a vocab-sized matrix.
+ */
+object Embed {
+
+  final val DefaultDim = 64
+  final val DefaultBuckets = 4096
+  final val DefaultSeed = 42L
+
+  /** buckets x dim pseudo-random unit rows; deterministic in seed. */
+  def projection(buckets: Int = DefaultBuckets, dim: Int = DefaultDim,
+                 seed: Long = DefaultSeed): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(buckets) {
+      val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      l2normalize(v); v
+    }
+  }
+
+  /** FNV-1a 32-bit over UTF-16 chars; stable across JVMs. */
+  def fnv1a(s: CharSequence, from: Int, until: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      h = (h ^ (c & 0xff)) * 0x01000193
+      h = (h ^ (c >>> 8)) * 0x01000193
+      i += 1
+    }
+    h
+  }
+
+  def l2normalize(v: Array[Float]): Unit = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    if (s > 0) {
+      val inv = (1.0 / math.sqrt(s))
+      i = 0
+      while (i < v.length) { v(i) = (v(i) * inv).toFloat; i += 1 }
+    }
+  }
+
+  /** L2-normalized trigram feature-hash vector of `s` under `proj`. */
+  def vector(s: String, proj: Array[Array[Float]]): Array[Float] = {
+    val dim = proj(0).length
+    val mask = proj.length - 1
+    require((proj.length & mask) == 0, "buckets must be a power of two")
+    val out = new Array[Float](dim)
+    val n = s.length
+    if (n == 0) return out
+    val gram = 3
+    var i = 0
+    val last = math.max(n - gram, 0)
+    while (i <= last) {
+      val until = math.min(i + gram, n)
+      val row = proj(fnv1a(s, i, until) & mask)
+      var j = 0
+      while (j < dim) { out(j) += row(j); j += 1 }
+      i += 1
+    }
+    l2normalize(out)
+    out
+  }
+
+  /** Cosine similarity of two (not necessarily normalized) vectors. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Cosine distance as the reference uses it (abs of scipy cosine):
+    * abs(1 - cos) (/root/reference/tests/er/test_transe.py:46-51). */
+  def cosineDistance(a: Array[Float], b: Array[Float]): Double =
+    math.abs(1.0 - cosine(a, b))
+}
