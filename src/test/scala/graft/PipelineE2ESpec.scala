@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end flagship test — upgrades the reference's log-only quality
+ * runs (e.g. /root/reference/tests/test_census_rl.py:129-135) to hard
+ * assertions: F1 >= 0.99 on labeled candidate pairs at fixed blocking
+ * keys (the north rule's quality bar).
+ */
+class PipelineE2ESpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("flagship pipeline reaches F1 >= 0.99 on the test split") {
+    val out = Pipeline.run(spark, SparkTestSession.sf0001)
+    val s = out.summary.head()
+    assert(s.getAs[Double]("test_f1") >= 0.99,
+      s"test F1 ${s.getAs[Double]("test_f1")} below target")
+    assert(s.getAs[Double]("test_precision") >= 0.99)
+    assert(s.getAs[Double]("test_recall") >= 0.99)
+    assert(s.getAs[Long]("n_clusters") > 0)
+    assert(out.theta > 0 && out.theta < 1)
+  }
+
+  test("clusters are pure and complete wrt ground truth at theta") {
+    val out = Pipeline.run(spark, SparkTestSession.sf0001)
+    val withDni = out.keyed.select(col("id"), col("dni"))
+      .join(out.clusters, "id")
+    // purity: no cluster contains two different entities
+    val impure = withDni.groupBy("cluster")
+      .agg(countDistinct("dni").as("d")).filter(col("d") > 1).count()
+    assert(impure == 0, s"$impure impure clusters")
+    // completeness: entities present on both sides share one cluster
+    val split = withDni.groupBy("dni")
+      .agg(countDistinct("cluster").as("c"), count(lit(1)).as("n"))
+      .filter(col("n") === 2 && col("c") > 1).count()
+    assert(split == 0, s"$split entities split across clusters")
+  }
+}
