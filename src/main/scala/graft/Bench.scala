@@ -23,12 +23,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      // pair scoring is CPU-bound per row, not byte-bound: AQE's
+      // byte-based coalescing would squeeze the scorer onto a couple
+      // of tasks, so keep the shuffle width explicit
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local testdata is one parquet file per table; split it so the
       // scan+normalize stage parallelizes like a many-file prod table
-      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
+      .config("spark.sql.files.maxPartitionBytes", s"${512 * 1024}")
       .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,7 +63,7 @@ object Bench {
     val dist = lit(1.0) - col("score")
     val train = scored.filter(col("split_a") === "train" && col("split_b") === "train")
     val theta = time("q_threshold_sweep")(
-      Threshold.bestTheta(train, dist, col("label")))
+      Threshold.bestThetaRobust(train, dist, col("label")))
 
     // Stage 5: match edges + large-star/small-star connected components
     val nClusters = time("q_connected_components") {

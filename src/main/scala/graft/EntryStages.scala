@@ -60,6 +60,9 @@ object EntryStages {
   def theta(spark: SparkSession, sfDir: String): Double =
     Threshold.bestTheta(trainPairs(scoredp(spark, sfDir)), col("dist"), col("label"))
 
+  def thetaRobust(spark: SparkSession, sfDir: String): Double =
+    Threshold.bestThetaRobust(trainPairs(scoredp(spark, sfDir)), col("dist"), col("label"))
+
   def matchEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val t = theta(spark, sfDir)
     scoredp(spark, sfDir).filter(col("dist") <= t)

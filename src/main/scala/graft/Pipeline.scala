@@ -29,7 +29,7 @@ object Pipeline {
       clusters: DataFrame, testMetrics: DataFrame, summary: DataFrame)
 
   def run(spark: SparkSession, sfDir: String,
-          ckptRoot: Option[String] = None, salts: Int = 8): Outputs = {
+          ckptRoot: Option[String] = None, salts: Int = 64): Outputs = {
 
     def ck(name: String, fp: String)(df: => DataFrame): DataFrame =
       ckptRoot match {
@@ -53,7 +53,7 @@ object Pipeline {
 
     val dist = lit(1.0) - col("score")
     val train = scored.filter(col("split_a") === "train" && col("split_b") === "train")
-    val theta = Threshold.bestTheta(train, dist, col("label"))
+    val theta = Threshold.bestThetaRobust(train, dist, col("label"))
 
     val edges = scored.filter(dist <= theta)
       .select(col("idA").as("src"), col("idB").as("dst"))

@@ -54,7 +54,7 @@ object SparkEntry {
     "topk_fp" -> ((s, d) => EntryStages.topkFp(s, d)),
     // --- transitive closure (SURVEY §7.3; iterative, no SQL oracle) ---
     "cc_clusters" -> ((s, d) => {
-      val t = EntryStages.theta(s, d)
+      val t = EntryStages.thetaRobust(s, d)
       val edges = EntryStages.scoredp(s, d).filter(col("dist") <= t)
         .select(col("idA").as("src"), col("idB").as("dst"))
       Cluster.assign(EntryStages.keyed(s, d).select("id"), edges)

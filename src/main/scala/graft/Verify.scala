@@ -9,11 +9,15 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      // pair scoring is CPU-bound per row, not byte-bound: AQE's
+      // byte-based coalescing would squeeze the scorer onto a couple
+      // of tasks, so keep the shuffle width explicit
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // single-file local tables: split scans so stages parallelize
-      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
+      .config("spark.sql.files.maxPartitionBytes", s"${512 * 1024}")
       .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -68,10 +68,24 @@ object StringSim {
     j + l * 0.1 * (1.0 - j)
   }
 
-  /** Classic Levenshtein edit distance (two-row DP). */
+  /**
+   * Classic Levenshtein edit distance (two-row DP) with exact common
+   * prefix/suffix trimming — near-duplicate pairs (the hot path in
+   * linkage scoring) reduce to a DP over the few differing chars.
+   */
   def levenshtein(s1: String, s2: String): Int = {
     if (s1 == s2) return 0
-    val (a, b) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
+    // trim common prefix / suffix (distance-preserving)
+    var lo = 0
+    val n1 = s1.length
+    val n2 = s2.length
+    val minLen = math.min(n1, n2)
+    while (lo < minLen && s1.charAt(lo) == s2.charAt(lo)) lo += 1
+    var hi = 0
+    while (hi < minLen - lo && s1.charAt(n1 - 1 - hi) == s2.charAt(n2 - 1 - hi)) hi += 1
+    val t1 = s1.substring(lo, n1 - hi)
+    val t2 = s2.substring(lo, n2 - hi)
+    val (a, b) = if (t1.length <= t2.length) (t1, t2) else (t2, t1)
     if (a.isEmpty) return b.length
     val prev = new Array[Int](a.length + 1)
     val cur = new Array[Int](a.length + 1)

@@ -44,6 +44,38 @@ object Synth {
   private def wordAt(words: Seq[String], idx: Column): Column =
     element_at(array(words.map(lit): _*), idx.cast("int") + 1)
 
+  private def ducklist(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /**
+   * Deterministic filler tokens that stretch `content` to a realistic
+   * source-file size (~250 chars): per round i, two dictionary words
+   * indexed by affine functions of (k, ck) and one numeric token.
+   * Single source of truth for BOTH the Spark columns and the DuckDB
+   * oracle fragments — the two derivations cannot drift.
+   */
+  final val FillerRounds = 8
+
+  /** Spark columns for the filler tokens; expects cols k, ck. */
+  def fillerCols: Seq[Column] = {
+    val k = col("k"); val ck = col("ck")
+    (0 until FillerRounds).flatMap { i =>
+      Seq(
+        wordAt(W1, (k * (3 + i) + i) % 29),
+        wordAt(W2, (k * (5 + i) + ck + i) % 31),
+        ((k * (7 + 2 * i) + ck * (3 + i)) % 99991).cast("string"))
+    }
+  }
+
+  /** DuckDB SQL fragments for the same filler tokens (k, ck in scope). */
+  def fillerSql: Seq[String] =
+    (0 until FillerRounds).flatMap { i =>
+      Seq(
+        s"list_extract(${ducklist(W1)}, CAST((k * ${3 + i} + $i) % 29 AS INT) + 1)",
+        s"list_extract(${ducklist(W2)}, CAST((k * ${5 + i} + ck + $i) % 31 AS INT) + 1)",
+        s"CAST((k * ${7 + 2 * i} + ck * ${3 + i}) % 99991 AS VARCHAR)")
+    }
+
   def orders(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/orders.parquet")
 
@@ -53,16 +85,19 @@ object Synth {
    * lang, content, dni (truth entity id), split (train/val/test).
    */
   def records(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = orders(spark, sfDir)
-    val k = col("o_orderkey")
-    val ck = col("o_custkey")
+    val pre = orders(spark, sfDir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+      col("o_orderstatus").as("st"), col("o_totalprice").as("tp"),
+      col("o_orderpriority").as("pri"))
+    val k = col("k")
+    val ck = col("ck")
 
     val custtok = when(ck % 100 === 0, lit("c0"))
       .otherwise(concat(lit("c"), ck.cast("string")))
-    val stword = when(col("o_orderstatus") === "F", "fin")
-      .when(col("o_orderstatus") === "O", "open").otherwise("pend")
-    val priw = lower(regexp_replace(col("o_orderpriority"), "-", " "))
-    val valtok = floor(col("o_totalprice")).cast("bigint").cast("string")
+    val stword = when(col("st") === "F", "fin")
+      .when(col("st") === "O", "open").otherwise("pend")
+    val priw = lower(regexp_replace(col("pri"), "-", " "))
+    val valtok = floor(col("tp")).cast("bigint").cast("string")
     val ktok = k.cast("string")
     val w1 = wordAt(W1, k % 29)
     val w2 = wordAt(W2, (k * 7 + ck) % 31)
@@ -71,11 +106,13 @@ object Synth {
     val extC = when(k % 5 === 0, "scala").when(k % 5 === 1, "java")
       .when(k % 5 === 2, "py").when(k % 5 === 3, "rs").otherwise("go")
 
-    val base = o.select(
-      k.as("k"), ck.as("ck"), custtok.as("custtok"), langC.as("lang"),
-      extC.as("ext"),
-      concat_ws(" ", lit("fn"), custtok, w1, stword, priw, w2,
-        lit("val"), valtok, lit("k"), ktok).as("content_a"))
+    val contentToks: Seq[Column] =
+      Seq(lit("fn"), custtok, w1, stword, priw, w2,
+        lit("val"), valtok, lit("k"), ktok) ++ fillerCols
+
+    val base = pre.select(
+      k, ck, custtok.as("custtok"), langC.as("lang"), extC.as("ext"),
+      concat_ws(" ", contentToks: _*).as("content_a"))
 
     val ca = col("content_a")
     // FEBRL-style deterministic perturbations for the B side; cases 1

@@ -21,25 +21,30 @@ object OracleSql {
 
   /** Shared derivation: records -> normalized -> keyed -> candidates ->
     * portable features/scores -> train sweep -> best threshold. */
-  val prefix: String = s"""WITH enr AS (
-  SELECT o_orderkey AS k, o_custkey AS ck,
-    CASE WHEN o_custkey % 100 = 0 THEN 'c0'
-         ELSE 'c' || CAST(o_custkey AS VARCHAR) END AS custtok,
-    CASE o_orderstatus WHEN 'F' THEN 'fin' WHEN 'O' THEN 'open'
-         ELSE 'pend' END AS stword,
-    lower(replace(o_orderpriority, '-', ' ')) AS priw,
-    CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS valtok,
-    CAST(o_orderkey AS VARCHAR) AS ktok,
-    list_extract(${ducklist(Synth.W1)}, CAST(o_orderkey % 29 AS INT) + 1) AS w1,
-    list_extract(${ducklist(Synth.W2)}, CAST((o_orderkey * 7 + o_custkey) % 31 AS INT) + 1) AS w2,
-    CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'scala' WHEN 1 THEN 'java'
-         WHEN 2 THEN 'python' WHEN 3 THEN 'rust' ELSE 'go' END AS lang,
-    CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'scala' WHEN 1 THEN 'java'
-         WHEN 2 THEN 'py' WHEN 3 THEN 'rs' ELSE 'go' END AS ext
+  val prefix: String = s"""WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st,
+         o_totalprice AS tp, o_orderpriority AS pri
   FROM orders
+), enr AS (
+  SELECT k, ck,
+    CASE WHEN ck % 100 = 0 THEN 'c0'
+         ELSE 'c' || CAST(ck AS VARCHAR) END AS custtok,
+    CASE st WHEN 'F' THEN 'fin' WHEN 'O' THEN 'open'
+         ELSE 'pend' END AS stword,
+    lower(replace(pri, '-', ' ')) AS priw,
+    CAST(CAST(floor(tp) AS BIGINT) AS VARCHAR) AS valtok,
+    CAST(k AS VARCHAR) AS ktok,
+    list_extract(${ducklist(Synth.W1)}, CAST(k % 29 AS INT) + 1) AS w1,
+    list_extract(${ducklist(Synth.W2)}, CAST((k * 7 + ck) % 31 AS INT) + 1) AS w2,
+    CASE CAST(k % 5 AS INT) WHEN 0 THEN 'scala' WHEN 1 THEN 'java'
+         WHEN 2 THEN 'python' WHEN 3 THEN 'rust' ELSE 'go' END AS lang,
+    CASE CAST(k % 5 AS INT) WHEN 0 THEN 'scala' WHEN 1 THEN 'java'
+         WHEN 2 THEN 'py' WHEN 3 THEN 'rs' ELSE 'go' END AS ext
+  FROM base
 ), contented AS (
-  SELECT *, concat_ws(' ', 'fn', custtok, w1, stword, priw, w2,
-                      'val', valtok, 'k', ktok) AS content_a
+  SELECT enr.*, concat_ws(' ', 'fn', custtok, w1, stword, priw, w2,
+                      'val', valtok, 'k', ktok,
+                      ${Synth.fillerSql.mkString(",\n                      ")}) AS content_a
   FROM enr
 ), sided AS (
   SELECT k * 2 AS id, 'A' AS side, k, ck, custtok, lang, ext,

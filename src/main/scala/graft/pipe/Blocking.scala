@@ -42,10 +42,12 @@ object Blocking {
    * (replicated) build side, which is wrong at any real scale — the
    * build side grows with the data, unlike a dimension table.
    *
-   * @param salts        number of salt buckets for each hot key (>=1)
+   * @param salts        salt fan-out for each hot key (>=1): caps a hot
+   *                     block's pair count per task at ~(rows/salts)*rows;
+   *                     only hot keys pay the B-side replication
    * @param hotThreshold A-side rows at which a block counts as hot
    */
-  def candidates(keyed: DataFrame, salts: Int = 8,
+  def candidates(keyed: DataFrame, salts: Int = 64,
                  hotThreshold: Int = 500): DataFrame = {
     require(salts >= 1)
     val a = keyed.filter(col("side") === "A")
@@ -77,6 +79,6 @@ object Blocking {
    * Convenience: records -> normalized -> keyed -> candidate pairs with
    * per-pair payload columns used by the scorer.
    */
-  def candidatePairs(records: DataFrame, salts: Int = 8): DataFrame =
+  def candidatePairs(records: DataFrame, salts: Int = 64): DataFrame =
     candidates(withBlockKey(Normalize(records)), salts)
 }

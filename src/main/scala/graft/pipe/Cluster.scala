@@ -68,17 +68,29 @@ object Cluster {
    *         an edge; cluster = component minimum.
    */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sess = edges.sparkSession
     var cur = canon(edges).localCheckpoint()
     var prev = checksum(cur)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
-      val cs = checksum(next)
-      converged = cs == prev
-      prev = cs
-      cur = next
-      round += 1
+    // iterative rounds over a (usually) small edge set are latency-
+    // bound: size the shuffle width to the data instead of inheriting
+    // a scoring-stage-wide setting, and restore afterwards.
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(
+      sess.sparkContext.defaultParallelism.toLong, prev._1 / 200000 + 1)).toString
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+        val cs = checksum(next)
+        converged = cs == prev
+        prev = cs
+        cur = next
+        round += 1
+      }
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     // At fixpoint the graph is a star per component rooted at its min;
     // canonical edges are (lo=min, hi=member), so labels read off as

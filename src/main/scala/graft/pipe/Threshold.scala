@@ -59,4 +59,31 @@ object Threshold {
   def bestTheta(scored: DataFrame, dist: Column, label: Column,
                 invStep: Int = 50): Double =
     best(scored, dist, label, invStep).select("theta").head().getDouble(0)
+
+  /**
+   * Robust threshold for the flagship decision: the midpoint of the
+   * max-F1 plateau instead of its left edge. The reference's argmax
+   * picks the SMALLEST optimal theta (np.argmax on an ascending grid,
+   * /root/reference/common.py:250-273), which sits right at the
+   * decision boundary and generalizes poorly to unseen splits; the
+   * plateau midpoint keeps train F1 identical and maximizes margin.
+   * Integer bucket arithmetic -> deterministic.
+   */
+  def bestThetaRobust(scored: DataFrame, dist: Column, label: Column,
+                      invStep: Int = 50): Double = {
+    // the sweep materializes only non-empty buckets; the F1-max plateau
+    // extends from its first bucket to just before the next bucket
+    // whose F1 degrades (empty buckets in between keep F1 constant).
+    val rows = sweep(scored, dist, label, invStep)
+      .select(ceil(col("theta") * invStep).cast("long").as("b"), col("f1"))
+      .orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    if (rows.isEmpty) return 0.0
+    val fmax = rows.map(_._2).max
+    val blo = rows.find(_._2 == fmax).get._1
+    val bhi = rows.collectFirst {
+      case (b, f) if b > blo && f < fmax => b - 1
+    }.getOrElse(blo)
+    ((blo + bhi) / 2) / invStep.toDouble
+  }
 }
