@@ -58,7 +58,22 @@ object SparkEntry {
       val edges = EntryStages.scoredp(s, d).filter(col("dist") <= t)
         .select(col("idA").as("src"), col("idB").as("dst"))
       Cluster.assign(EntryStages.keyed(s, d).select("id"), edges)
-    })
+    }),
+    // --- training-data pipeline: text analysis over `documents` ---
+    "text_stats" -> ((s, d) => ops.TextOps.textStats(s, d)),
+    "lang_id" -> ((s, d) => ops.TextOps.langId(s, d)),
+    "token_count" -> ((s, d) => ops.TextOps.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => ops.TextOps.docFingerprint(s, d)),
+    // --- training-data pipeline: deduplication ---
+    "dedup_exact" -> ((s, d) => ops.Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),
+    "dedup_embed_cosine" -> ((s, d) => ops.Dedup.embedCosine(s, d)),
+    // --- training-data pipeline: similarity search over `embeddings` ---
+    "ann_topk" -> ((s, d) => ops.Ann.bruteTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => ops.Ann.lshTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => ops.Ann.ivfTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +95,15 @@ object SparkEntry {
     "ir_metrics" -> OracleSql.irMetrics,
     "mutual_nn" -> OracleSql.mutualNn,
     "topk_fn" -> OracleSql.topkFn,
-    "topk_fp" -> OracleSql.topkFp
+    "topk_fp" -> OracleSql.topkFp,
+    "text_stats" -> oracle.OracleSqlOps.textStats,
+    "lang_id" -> oracle.OracleSqlOps.langId,
+    "token_count" -> oracle.OracleSqlOps.tokenCount,
+    "doc_fingerprint" -> oracle.OracleSqlOps.docFingerprint,
+    "dedup_exact" -> oracle.OracleSqlOps.dedupExact,
+    "dedup_ngram_jaccard" -> oracle.OracleSqlOps.ngramJaccard,
+    "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
+    "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
+    "ann_topk" -> oracle.OracleSqlOps.annTopK
   )
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sim.Embed
+
+/**
+ * Approximate-nearest-neighbor search over the `embeddings` table
+ * (vec_id, embedding: array<float>, label).
+ *
+ * - [[bruteTopK]]: exact baseline — broadcast the query vectors, one
+ *   `mapPartitions` pass over the corpus (never a shuffled cross
+ *   join), per-query top-k via window. This is the scale shape: the
+ *   corpus streams, queries are the small broadcast side.
+ * - [[lshTopK]]: random-hyperplane LSH — sign-bit signatures over a
+ *   broadcast seeded hyperplane matrix, bucket equi-join, exact rerank
+ *   within buckets (multi-probe via 2 signature permutations).
+ * - [[ivfTopK]]: IVF — per-label centroids (k=|labels| coarse
+ *   quantizer), probe the 2 nearest centroids, exact rerank inside.
+ */
+object Ann {
+
+  case class Vec(vec_id: Long, embedding: Array[Float])
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def typedVecs(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    embeddings(spark, sfDir).select(col("vec_id"), col("embedding")).as[Vec]
+  }
+
+  /** Exact top-k cosine neighbors for queries (vec_id < nQueries). */
+  def bruteTopK(spark: SparkSession, sfDir: String,
+                nQueries: Int = 50, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vecs = typedVecs(spark, sfDir)
+    val queries = spark.sparkContext.broadcast(
+      vecs.filter(col("vec_id") < nQueries).collect())
+    val scored = vecs.mapPartitions { it =>
+      val qs = queries.value
+      it.flatMap { v =>
+        qs.iterator.filter(_.vec_id != v.vec_id).map { q =>
+          (q.vec_id, v.vec_id, Embed.cosine(q.embedding, v.embedding))
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  final val LshBits = 12
+
+  /** Sign-bit signature of v under `planes` (LshBits x dim). */
+  def signature(v: Array[Float], planes: Array[Array[Float]]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      var dot = 0.0
+      val p = planes(b)
+      var i = 0
+      while (i < v.length) { dot += p(i).toDouble * v(i); i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /**
+   * LSH ANN: bucket by hyperplane signature (2 independent tables for
+   * recall), exact cosine rerank within candidate buckets.
+   */
+  def lshTopK(spark: SparkSession, sfDir: String,
+              nQueries: Int = 50, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val planes = spark.sparkContext.broadcast(Array.tabulate(2) { t =>
+      val rnd = new java.util.Random(1000 + t)
+      Array.fill(LshBits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    })
+    val vecs = typedVecs(spark, sfDir)
+    val bucketed = vecs.mapPartitions { it =>
+      val ps = planes.value
+      it.flatMap { v =>
+        ps.iterator.zipWithIndex.map { case (p, t) =>
+          (v.vec_id, v.embedding, t, signature(v.embedding, p))
+        }
+      }
+    }.toDF("vec_id", "embedding", "table", "sig")
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("table"), col("sig"))
+    val cands = q.join(bucketed, Seq("table", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        col("embedding")).distinct()
+    import spark.implicits._
+    val scored = cands
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .mapPartitions(_.map { case (qid, qv, nid, nv) =>
+        (qid, nid, Embed.cosine(qv, nv))
+      }).toDF("query_id", "neighbor_id", "cos")
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /**
+   * IVF ANN: coarse-quantize by per-label centroid (deterministic —
+   * centroids are data means, no trained k-means needed for the
+   * operator shape), probe the 2 nearest centroids, exact rerank.
+   */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              nQueries: Int = 50, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val dim = 64
+    // centroid per label: element-wise mean
+    val cents = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("sm"))
+      .select(col("label"), transform(col("sm"), s => s.getField("m")).as("centroid"))
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[Double](1).map(_.toFloat).toArray))
+    val centB = spark.sparkContext.broadcast(cents)
+    val vecs = typedVecs(spark, sfDir)
+    val queries = spark.sparkContext.broadcast(
+      vecs.filter(col("vec_id") < nQueries).collect())
+    // per query: the nProbe closest centroids
+    val probes = queries.value.map { q =>
+      val byDist = centB.value.map { case (l, c) =>
+        (l, Embed.cosine(q.embedding, c))
+      }.sortBy { case (l, c) => (-c, l) }.take(nProbe).map(_._1).toSet
+      (q.vec_id, byDist)
+    }.toMap
+    val probesB = spark.sparkContext.broadcast(probes)
+    val labeled = e.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    val scored = labeled.mapPartitions { it =>
+      val qs = queries.value
+      val pr = probesB.value
+      it.flatMap { case (vid, v, lbl) =>
+        qs.iterator
+          .filter(q => q.vec_id != vid && pr(q.vec_id).contains(lbl))
+          .map(q => (q.vec_id, vid, Embed.cosine(q.embedding, v)))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.oracle
+
+import graft.ops.TextOps
+
+/**
+ * DuckDB oracle SQL for the training-data-pipeline operators over the
+ * `documents` / `embeddings` tables (dedup, text analysis, ANN).
+ * Mirrors graft.ops.* semantics token for token; float discipline as
+ * in [[OracleSql]] (integer-derived doubles and rank-stable ids only).
+ */
+object OracleSqlOps {
+
+  private def ducklist(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val normText = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksCte =
+    s"""WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)"""
+
+  val textStats: String = toksCte + s""",
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS len_chars,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
+    CAST(len(list_filter(toks, x -> list_contains(${ducklist(TextOps.Stopwords)}, x))) AS BIGINT) AS n_stopwords,
+    CAST(len(string_split_regex(text, '[^a-z0-9\\s]')) - 1 AS BIGINT) AS n_punct
+  FROM t
+)
+SELECT *,
+  sum_token_len / n_tokens AS avg_token_len,
+  n_stopwords / n_tokens AS stopword_ratio,
+  n_punct / len_chars AS punct_ratio,
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+    * (1.0::DOUBLE - (n_stopwords / n_tokens) * 0.5::DOUBLE) AS quality_score
+FROM s"""
+
+  val langId: String = toksCte + s""",
+s AS (
+  SELECT doc_id, lang,
+${TextOps.LangMarkers.map { case (l, ws) =>
+    s"    CAST(len(list_filter(toks, x -> list_contains(${ducklist(ws)}, x))) AS BIGINT) AS s_$l"
+  }.mkString(",\n")}
+  FROM t
+), m AS (
+  SELECT *, greatest(${TextOps.LangMarkers.map(lm => s"s_${lm._1}").mkString(", ")}) AS mx FROM s
+), p AS (
+  SELECT doc_id, lang,
+    CASE ${TextOps.LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")} ELSE 'unknown' END AS pred_lang
+  FROM m
+)
+SELECT doc_id, lang, pred_lang,
+  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+FROM p"""
+
+  val tokenCount: String = """SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents"""
+
+  val docFingerprint: String = s"""WITH t AS (
+  SELECT doc_id, $normText AS nt FROM documents
+), tk AS (
+  SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM t
+)
+SELECT doc_id, md5(nt) AS md5_full,
+  list_min([md5(array_to_string(list_slice(toks, i, i + 4), ' '))
+            for i in range(1, greatest(len(toks) - 4, 1) + 1)]) AS min_shingle_md5
+FROM tk"""
+
+  val dedupExact: String = s"""WITH d AS (
+  SELECT doc_id, md5($normText) AS fp FROM documents
+), g AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS group_size, MIN(doc_id) AS canonical_id
+  FROM d GROUP BY fp
+)
+SELECT doc_id, fp, group_size, canonical_id,
+  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM d JOIN g USING (fp)"""
+
+  private val shinglesCte = s"""WITH t AS (
+  SELECT doc_id, string_split($normText, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5(array_to_string(list_slice(toks, i, i + 2), ' '))
+                for i in range(1, greatest(len(toks) - 2, 1) + 1)])) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh s1 JOIN sh s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2
+)"""
+
+  val ngramJaccard: String = shinglesCte + """
+SELECT doc1, doc2, inter / (n1 + n2 - inter) AS jaccard
+FROM inter
+JOIN (SELECT doc_id AS doc1, n_sh AS n1 FROM sizes) USING (doc1)
+JOIN (SELECT doc_id AS doc2, n_sh AS n2 FROM sizes) USING (doc2)
+ORDER BY jaccard DESC, doc1, doc2 LIMIT 20"""
+
+  val minhashLsh: String = shinglesCte + """,
+seeded AS (
+  SELECT doc_id, seed, shingle FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+), sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+    md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || '=' || mh)), '|')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(floor(seed / 2) AS INT)
+), cands AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2 USING (band, band_key)
+  WHERE b1.doc_id < b2.doc_id
+)
+SELECT doc1, doc2,
+  coalesce(inter, 0) / (n1 + n2 - coalesce(inter, 0)) AS jaccard
+FROM cands
+LEFT JOIN inter USING (doc1, doc2)
+JOIN (SELECT doc_id AS doc1, n_sh AS n1 FROM sizes) USING (doc1)
+JOIN (SELECT doc_id AS doc2, n_sh AS n2 FROM sizes) USING (doc2)
+ORDER BY jaccard DESC, doc1, doc2 LIMIT 20"""
+
+  val dedupEmbedCosine: String = """WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT id1, id2, label FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  ORDER BY cos DESC, id1, id2 LIMIT 20
+)"""
+
+  val annTopK: String = """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos
+  FROM q CROSS JOIN e WHERE e.vec_id <> query_id
+), ranked AS (
+  SELECT query_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+    neighbor_id
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
+}
