@@ -73,7 +73,20 @@ object SparkEntry {
     // --- training-data pipeline: similarity search over `embeddings` ---
     "ann_topk" -> ((s, d) => ops.Ann.bruteTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => ops.Ann.lshTopK(s, d)),
-    "ann_ivf_topk" -> ((s, d) => ops.Ann.ivfTopK(s, d))
+    "ann_ivf_topk" -> ((s, d) => ops.Ann.ivfTopK(s, d)),
+    // --- Fellegi-Sunter classifiers (SURVEY §2.7: ECM / LogReg / KMeans) ---
+    "fs_ecm_patterns" -> ((s, d) => ml.Classifiers.ecmPatterns(s, d)),
+    "fs_ecm_metrics" -> ((s, d) => ml.Classifiers.ecmMetrics(s, d)),
+    "fs_logreg_metrics" -> ((s, d) => ml.Classifiers.logRegMetrics(s, d)),
+    "fs_kmeans_metrics" -> ((s, d) => ml.Classifiers.kmeansMetrics(s, d)),
+    // --- Hungarian assignment + negative sampler (SURVEY §2.7, §2.9) ---
+    "block_assignment" -> ((s, d) => ops.Assignment.blockAssignment(s, d)),
+    "negative_samples" -> ((s, d) => sim.NegativeSampler.sample(s, d)),
+    // --- Structured Streaming (windowed agg over `events`) ---
+    "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
+    // --- multimodal binary columns (decode stubbed; plumbing real) ---
+    "mm_binary_meta" -> ((s, d) => ops.Multimodal.binaryMeta(s, d)),
+    "mm_decode_features" -> ((s, d) => ops.Multimodal.decodeFeatures(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +117,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> oracle.OracleSqlOps.ngramJaccard,
     "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
-    "ann_topk" -> oracle.OracleSqlOps.annTopK
+    "ann_topk" -> oracle.OracleSqlOps.annTopK,
+    "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
+    "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta
   )
 }

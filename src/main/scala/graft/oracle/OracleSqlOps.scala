@@ -139,6 +139,22 @@ SELECT id1, id2, label FROM (
   ORDER BY cos DESC, id1, id2 LIMIT 20
 )"""
 
+  val streamWindowed: String = """SELECT
+  CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+
+  val mmBinaryMeta: String = """SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(doc_id % 640 + 64 AS BIGINT) AS width,
+  CAST(doc_id % 480 + 48 AS BIGINT) AS height
+FROM documents"""
+
   val annTopK: String = """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (

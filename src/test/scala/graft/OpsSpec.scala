@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Assignment, Dedup}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  lazy val sf = SparkTestSession.sf0001
+
+  test("hungarian solver: known optimal assignments") {
+    // classic 3x3: optimal = 5 (0->1, 1->0, 2->2) cost 2+3+0? compute:
+    val c = Array(
+      Array(4.0, 1.0, 3.0),
+      Array(2.0, 0.0, 5.0),
+      Array(3.0, 2.0, 2.0))
+    val a = Assignment.solve(c)
+    val cost = a.zipWithIndex.map { case (j, i) => c(i)(j) }.sum
+    assert(a.toSet.size == 3) // perfect matching
+    assert(cost == 5.0) // 1 + 2 + 2
+    // rectangular: 2 rows x 3 cols
+    val r = Array(Array(10.0, 2.0, 8.0), Array(7.0, 3.0, 4.0))
+    val ar = Assignment.solve(r)
+    assert(ar.toSet.size == 2 && !ar.contains(-1))
+    assert(ar.zipWithIndex.map { case (j, i) => r(i)(j) }.sum == 6.0) // 2 + 4
+    // more rows than cols: one row unassigned
+    val t = Array(Array(1.0), Array(5.0))
+    val at = Assignment.solve(t)
+    assert(at.count(_ >= 0) == 1 && at(0) == 0 && at(1) == -1)
+  }
+
+  test("hungarian beats greedy on the adversarial case") {
+    val c = Array(Array(1.0, 2.0), Array(2.0, 100.0))
+    val opt = Assignment.solve(c)
+    assert(opt.zipWithIndex.map { case (j, i) => c(i)(j) }.sum == 4.0)
+    val g = Assignment.greedy(c)
+    assert(g.zipWithIndex.map { case (j, i) => c(i)(j) }.sum == 101.0)
+  }
+
+  test("block assignment links each A to at most one B with sane cost") {
+    val df = Assignment.blockAssignment(spark, sf)
+    assert(df.filter(col("n_assigned") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(df.filter(col("cost_micros") < 0).count() == 0)
+    assert(df.count() > 100)
+  }
+
+  test("negative sampler: negatives are never true pairs, deterministic") {
+    val neg1 = sim.NegativeSampler.sample(spark, sf)
+    val truth = EntryStages.cand(spark, sf)
+      .filter(col("dni_a") === col("dni_b"))
+      .select(col("idA"), col("idB").as("idB_neg"))
+    assert(neg1.join(truth, Seq("idA", "idB_neg"), "left_semi").count() == 0)
+    val neg2 = sim.NegativeSampler.sample(spark, sf)
+    assert(neg1.exceptAll(neg2).isEmpty && neg2.exceptAll(neg1).isEmpty)
+    // ~negRate per positive
+    assert(neg1.count() >= truth.count() * 2)
+  }
+
+  test("simhash: identical texts collide, near texts are close") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    assert(a == b)
+    val c = Dedup.simhash64("the quick brown fox jumps over the lazy cat")
+    assert(Dedup.hamming(a, c) <= 16)
+    val far = Dedup.simhash64("completely unrelated words entirely different text")
+    assert(Dedup.hamming(a, far) > Dedup.hamming(a, c))
+  }
+
+  test("exact dedup groups identical normalized docs") {
+    val d = Dedup.exact(spark, sf)
+    assert(d.count() == 500)
+    // every group has exactly one canonical row
+    val g = d.groupBy("fp").agg(
+      sum("is_canonical").as("nc"), count(lit(1)).as("n"))
+    assert(g.filter(col("nc") =!= 1).count() == 0)
+  }
+
+  test("ECM separates an obviously separable pattern space") {
+    val feats = ml.Classifiers.withFeatures(EntryStages.scoredp(spark, sf))
+    val model = ml.Classifiers.fitEcm(feats)
+    // all-ones pattern (exact dup) must classify as match,
+    // all-zeros as non-match
+    assert(model.posterior(31) > 0.5)
+    assert(model.posterior(0) < 0.5)
+    val m = ml.Classifiers.ecmMetrics(spark, sf).head()
+    assert(m.getAs[Double]("f1") >= 0.95, s"ECM F1 ${m.getAs[Double]("f1")}")
+  }
+
+  test("multimodal plumbing: binary schema + batched stub decode") {
+    val meta = ops.Multimodal.binaryMeta(spark, sf)
+    assert(meta.count() == 500)
+    val feats = ops.Multimodal.decodeFeatures(spark, sf)
+    assert(feats.filter(col("feat_dim") =!= 16).count() == 0)
+    // L2-normalized stub features: norm ~ 1
+    assert(feats.filter(abs(col("feat_norm_micros") - 1000000) > 5).count() == 0)
+    val tbl = ops.Multimodal.mediaTable(spark, sf)
+    assert(tbl.schema("payload").dataType.typeName == "binary")
+  }
+}
