@@ -49,6 +49,14 @@ object SparkEntry {
       eval.Metrics.irMetrics(
         EntryStages.testPairs(EntryStages.scoredp(s, d)),
         col("dist"), col("label"))),
+    "ir_p_at_k" -> ((s, d) =>
+      eval.Metrics.pAtK(
+        EntryStages.testPairs(EntryStages.scoredp(s, d)),
+        col("dist"), col("label"))),
+    // --- knowledge-graph encodings (SURVEY §1.3, §2.1) ---
+    "graph_er_entities" -> ((s, d) => graph.GraphBuild.erEntities(s, d)),
+    "graph_er_triples" -> ((s, d) => graph.GraphBuild.erTriples(s, d)),
+    "graph_veg_triples" -> ((s, d) => graph.GraphBuild.vegTriples(s, d)),
     "mutual_nn" -> ((s, d) => EntryStages.mutualNn(s, d)),
     "topk_fn" -> ((s, d) => EntryStages.topkFn(s, d)),
     "topk_fp" -> ((s, d) => EntryStages.topkFp(s, d)),
@@ -82,6 +90,8 @@ object SparkEntry {
     // --- Hungarian assignment + negative sampler (SURVEY §2.7, §2.9) ---
     "block_assignment" -> ((s, d) => ops.Assignment.blockAssignment(s, d)),
     "negative_samples" -> ((s, d) => sim.NegativeSampler.sample(s, d)),
+    // --- TransE trainer + graph-embedding linkage eval (SURVEY §2.9) ---
+    "transe_eval" -> ((s, d) => sim.TransE.eval(s, d)),
     // --- Structured Streaming (windowed agg over `events`) ---
     "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---
@@ -106,6 +116,10 @@ object SparkEntry {
     "pair_metrics" -> OracleSql.pairMetrics,
     "ir_query_facts" -> OracleSql.irQueryFacts,
     "ir_metrics" -> OracleSql.irMetrics,
+    "ir_p_at_k" -> OracleSql.irPAtK,
+    "graph_er_entities" -> OracleSql.graphErEntities,
+    "graph_er_triples" -> OracleSql.graphErTriples,
+    "graph_veg_triples" -> OracleSql.graphVegTriples,
     "mutual_nn" -> OracleSql.mutualNn,
     "topk_fn" -> OracleSql.topkFn,
     "topk_fp" -> OracleSql.topkFp,

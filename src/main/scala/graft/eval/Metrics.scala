@@ -81,6 +81,32 @@ object Metrics {
   }
 
   /**
+   * Mean precision@k for several k over query entities with >= 1
+   * relevant candidate (/root/reference/common.py:300-308), in exact
+   * micro-units: one row per k.
+   */
+  def pAtK(scored: DataFrame, dist: Column, label: Column,
+           ks: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+    val w = Window.partitionBy("idA").orderBy(dist.asc, col("idB").asc)
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("lbl", label.cast("long"))
+    val hitCols = ks.map(k =>
+      sum(when(col("rank") <= k, col("lbl")).otherwise(0L)).as(s"hits_$k"))
+    val perQuery = ranked.groupBy("idA")
+      .agg(sum("lbl").as("n_rel"), hitCols: _*)
+      .filter(col("n_rel") > 0)
+    val spCols = ks.map(k =>
+      sum(round(col(s"hits_$k") * 1000000.0 / k).cast("long")).as(s"sp_$k"))
+    val agged = perQuery.agg(count(lit(1)).as("n_queries"), spCols: _*).head()
+    val n = agged.getAs[Long]("n_queries")
+    import scored.sparkSession.implicits._
+    ks.map(k => (k.toLong, n,
+        agged.getAs[Long](s"sp_$k").toDouble / n / 1000000.0))
+      .toDF("k", "n_queries", "mean_p_at_k")
+  }
+
+  /**
    * Global IR metrics over query entities that have >= 1 relevant
    * candidate (as the reference iterates only entities present in
    * true_pairs, /root/reference/common.py:282-294):

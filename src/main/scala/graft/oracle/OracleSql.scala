@@ -214,6 +214,66 @@ object OracleSql {
        WHERE label = 0 AND dist <= (SELECT theta FROM best)
        ORDER BY dist ASC, idA, idB LIMIT 5""")
 
+  private val rawtCte = """, rawt AS (
+      SELECT 'r' || CAST(id AS VARCHAR) AS rec, 'block:' || block_key AS value,
+             CAST(0 AS BIGINT) AS rel_id FROM keyed
+      UNION ALL
+      SELECT 'r' || CAST(id AS VARCHAR), 'lang:' || lang, CAST(1 AS BIGINT) FROM keyed
+      UNION ALL
+      SELECT 'r' || CAST(id AS VARCHAR), 'repo:' || repo, CAST(2 AS BIGINT) FROM keyed
+    ), ents AS (
+      SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS ent_id
+      FROM (SELECT rec AS label FROM rawt UNION SELECT value FROM rawt)
+    )"""
+
+  val graphErEntities: String = q(rawtCte + " SELECT label, ent_id FROM ents")
+
+  val graphErTriples: String = q(rawtCte + """
+    SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
+    FROM rawt
+    JOIN ents eh ON eh.label = rawt.rec
+    JOIN ents et ON et.label = rawt.value""")
+
+  val graphVegTriples: String = q(""", truthp AS (
+      SELECT idA, idB FROM cand WHERE dni_a = dni_b
+    ), ka AS (
+      SELECT id AS idA, block_key AS ba, lang AS la, repo AS ra FROM keyed
+    ), kb AS (
+      SELECT id AS idB, block_key AS bb, lang AS lb, repo AS rb FROM keyed
+    ), joinedv AS (
+      SELECT * FROM truthp JOIN ka USING (idA) JOIN kb USING (idB)
+    ), vt AS (
+      SELECT ba AS val_a, bb AS val_b, CAST(0 AS BIGINT) AS r FROM joinedv
+      UNION ALL SELECT la, lb, CAST(1 AS BIGINT) FROM joinedv
+      UNION ALL SELECT ra, rb, CAST(2 AS BIGINT) FROM joinedv
+    )
+    SELECT val_a, val_b, r, CAST(COUNT(*) AS BIGINT) AS n
+    FROM vt GROUP BY val_a, val_b, r""")
+
+  val irPAtK: String = q(""", ranked AS (
+      SELECT idA, idB, label,
+        CAST(row_number() OVER (PARTITION BY idA ORDER BY dist, idB) AS BIGINT) AS rank
+      FROM scoredp WHERE split_a = 'test' AND split_b = 'test'
+    ), perq AS (
+      SELECT idA, CAST(SUM(label) AS BIGINT) AS n_rel,
+        CAST(SUM(CASE WHEN rank <= 1 THEN label ELSE 0 END) AS BIGINT) AS hits_1,
+        CAST(SUM(CASE WHEN rank <= 3 THEN label ELSE 0 END) AS BIGINT) AS hits_3,
+        CAST(SUM(CASE WHEN rank <= 10 THEN label ELSE 0 END) AS BIGINT) AS hits_10
+      FROM ranked GROUP BY idA
+    ), rel AS (SELECT * FROM perq WHERE n_rel > 0
+    ), agged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        CAST(SUM(CAST(round(hits_1 * 1000000.0 / 1) AS BIGINT)) AS BIGINT) AS sp_1,
+        CAST(SUM(CAST(round(hits_3 * 1000000.0 / 3) AS BIGINT)) AS BIGINT) AS sp_3,
+        CAST(SUM(CAST(round(hits_10 * 1000000.0 / 10) AS BIGINT)) AS BIGINT) AS sp_10
+      FROM rel
+    )
+    SELECT CAST(1 AS BIGINT) AS k, n_queries, sp_1 / n_queries / 1000000.0 AS mean_p_at_k FROM agged
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), n_queries, sp_3 / n_queries / 1000000.0 FROM agged
+    UNION ALL
+    SELECT CAST(10 AS BIGINT), n_queries, sp_10 / n_queries / 1000000.0 FROM agged""")
+
   val harmonizeLang: String = q(
     """SELECT f.family AS family, CAST(COUNT(*) AS BIGINT) AS n
        FROM records r

@@ -1,0 +1,191 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed TransE trainer (SURVEY.md §7.4 v2): margin ranking loss
+ * `max(0, ||h+r-t||_1 - ||h+r-t'||_1 + margin)` with L1 subgradients —
+ * the reference's objective (/root/reference/ER/transe.py:76-108) —
+ * trained as parameter-averaged SGD: per epoch the weight matrices are
+ * BROADCAST, each partition accumulates sparse gradients over its
+ * triples with HASH-seeded (replayable) negative tail corruption
+ * (/root/reference/common.py:72-129), gradients reduce by entity id,
+ * and the driver applies the update + L2-normalizes entity rows
+ * (/root/reference/ER/transe.py:41-44).
+ *
+ * Scale shape: broadcast size is O(|entities| x dim) — the model, not
+ * the data; gradient traffic is one shuffle of touched-entity rows per
+ * epoch. Embedding quality mirrors the reference's TransE tier
+ * (F1 0.2-0.6), far below the string+cosine flagship — kept for
+ * operator parity, not as the decision path.
+ */
+object TransE {
+
+  final case class Config(
+      dim: Int = 16, epochs: Int = 10, lr: Double = 0.1,
+      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L)
+
+  final case class Model(ent: Array[Array[Float]], rel: Array[Array[Float]],
+                         lossByEpoch: Array[Double])
+
+  private def mix(a: Long, b: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ a
+    h = (h ^ (a >>> 32)) * 0x100000001b3L
+    h = (h ^ b) * 0x100000001b3L
+    h = (h ^ (b >>> 32)) * 0x100000001b3L
+    h
+  }
+
+  /** @param triples (h, t, r) with dense ids in [0, nEnt) / [0, nRel) */
+  def train(spark: SparkSession, triples: DataFrame, nEnt: Int, nRel: Int,
+            cfg: Config = Config()): Model = {
+    import spark.implicits._
+    val rnd = new java.util.Random(cfg.seed)
+    val bound = (6.0 / math.sqrt(cfg.dim)).toFloat
+    def init(n: Int) = Array.fill(n) {
+      val v = Array.fill(cfg.dim)((rnd.nextDouble() * 2 - 1).toFloat * bound)
+      v
+    }
+    val ent = init(nEnt)
+    ent.foreach(Embed.l2normalize)
+    val rel = init(nRel)
+    val data = triples.select(col("h").cast("long"), col("t").cast("long"),
+      col("r").cast("long")).as[(Long, Long, Long)].persist()
+    data.count()
+    val losses = new Array[Double](cfg.epochs)
+
+    var epoch = 0
+    while (epoch < cfg.epochs) {
+      val entB = spark.sparkContext.broadcast(ent)
+      val relB = spark.sparkContext.broadcast(rel)
+      val ep = epoch
+      val dim = cfg.dim
+      val margin = cfg.margin
+      val negRate = cfg.negRate
+      val nEntL = nEnt.toLong
+      // per-partition sparse gradients + loss
+      val grads = data.mapPartitions { it =>
+        val e = entB.value
+        val r = relB.value
+        val acc = new java.util.HashMap[Long, Array[Float]]()
+        var loss = 0.0
+        def g(id: Long): Array[Float] = {
+          var v = acc.get(id)
+          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          v
+        }
+        it.foreach { case (h, t, rl) =>
+          var j = 0
+          while (j < negRate) {
+            val tNeg = (((mix(h * 31 + t, ep.toLong * negRate + j) % nEntL)
+              + nEntL) % nEntL)
+            if (tNeg != t) {
+              val eh = e(h.toInt); val et = e(t.toInt)
+              val en = e(tNeg.toInt); val er = r(rl.toInt)
+              var pos = 0.0; var neg = 0.0
+              var i = 0
+              while (i < dim) {
+                pos += math.abs(eh(i) + er(i) - et(i))
+                neg += math.abs(eh(i) + er(i) - en(i))
+                i += 1
+              }
+              val l = pos - neg + margin
+              if (l > 0) {
+                loss += l
+                val gh = g(h); val gt = g(nEntL + t); val gn = g(nEntL + tNeg)
+                val gr = g(2 * nEntL + rl)
+                i = 0
+                while (i < dim) {
+                  val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                  val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
+                  gh(i) += sp - sn; gr(i) += sp - sn
+                  gt(i) -= sp; gn(i) += sn
+                  i += 1
+                }
+              }
+            }
+            j += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        Iterator.single((loss,
+          acc.entrySet().asScala.map(kv => (kv.getKey, kv.getValue)).toArray))
+      }.collect()
+      losses(epoch) = grads.map(_._1).sum
+      // apply summed gradients
+      val total = new java.util.HashMap[Long, Array[Float]]()
+      grads.foreach { case (_, part) =>
+        part.foreach { case (id, gv) =>
+          val cur = total.get(id)
+          if (cur == null) total.put(id, gv.clone())
+          else { var i = 0; while (i < cfg.dim) { cur(i) += gv(i); i += 1 } }
+        }
+      }
+      total.forEach { (id, gv) =>
+        val target =
+          if (id < nEntL) ent(id.toInt)
+          else if (id < 2 * nEntL) ent((id - nEntL).toInt)
+          else rel((id - 2 * nEntL).toInt)
+        var i = 0
+        while (i < cfg.dim) {
+          target(i) = (target(i) - cfg.lr * gv(i)).toFloat; i += 1
+        }
+      }
+      ent.foreach(Embed.l2normalize)
+      entB.destroy(); relB.destroy()
+      epoch += 1
+    }
+    data.unpersist()
+    Model(ent, rel, losses)
+  }
+
+  /**
+   * End-to-end TransE linkage eval over the ER graph: train, broadcast
+   * the entity matrix, cosine-score candidate pairs in mapPartitions
+   * (record node embeddings), sweep the threshold, report test F1/MRR.
+   */
+  def pairScores(spark: SparkSession, sfDir: String,
+                 cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val ents = graft.graph.GraphBuild.erEntities(spark, sfDir)
+    val nEnt = ents.count().toInt
+    val triples = graft.graph.GraphBuild.erTriples(spark, sfDir)
+    val model = train(spark, triples, nEnt, graft.graph.GraphBuild.Relations.size, cfg)
+    // record label -> ent id map, broadcast with the trained matrix
+    val recIds = ents.filter(col("label").rlike("^r[0-9]+$"))
+      .select(substring(col("label"), 2, 20).cast("long").as("id"), col("ent_id"))
+      .as[(Long, Long)].collect().toMap
+    val recB = spark.sparkContext.broadcast(recIds)
+    val entB = spark.sparkContext.broadcast(model.ent)
+    graft.EntryStages.cand(spark, sfDir)
+      .select(col("idA"), col("idB"),
+        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val rm = recB.value
+        val e = entB.value
+        it.map { case (a, b, lbl) =>
+          val cos = Embed.cosine(e(rm(a).toInt), e(rm(b).toInt))
+          (a, b, cos, lbl)
+        }
+      }.toDF("idA", "idB", "cos", "label")
+  }
+
+  /** Summary row: epochs, final loss, best-threshold test F1, MRR. */
+  def eval(spark: SparkSession, sfDir: String,
+           cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val scores = pairScores(spark, sfDir, cfg).persist()
+    val dist = lit(1.0) - col("cos")
+    val theta = graft.pipe.Threshold.bestThetaRobust(scores, dist, col("label"))
+    val m = graft.eval.Metrics.pairMetrics(scores,
+      (dist <= theta).cast("int"), col("label")).head()
+    val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
+    scores.unpersist()
+    Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
+      m.getAs[Double]("f1"), m.getAs[Double]("precision"),
+      m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))
+      .toDF("dim", "epochs", "theta", "f1", "precision", "recall", "mrr")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.TransE
+
+class TransESpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  lazy val sf = SparkTestSession.sf0001
+
+  test("TransE training converges and scores like the reference tier") {
+    val ents = graph.GraphBuild.erEntities(spark, sf)
+    val nEnt = ents.count().toInt
+    val triples = graph.GraphBuild.erTriples(spark, sf)
+    val model = TransE.train(spark, triples, nEnt,
+      graph.GraphBuild.Relations.size, TransE.Config(epochs = 6))
+    // margin-ranking loss decreases
+    assert(model.lossByEpoch.head > model.lossByEpoch.last,
+      s"loss did not decrease: ${model.lossByEpoch.toSeq}")
+    assert(model.ent.length == nEnt)
+    // entity rows stay L2-normalized
+    val norm = math.sqrt(model.ent(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+  }
+
+  test("TransE linkage eval produces reference-tier quality") {
+    val row = TransE.eval(spark, sf).head()
+    // the reference's TransE scores F1 0.21-0.58 (BASELINE.md §2);
+    // graph-only signals are weak by design - assert the tier, not more
+    assert(row.getAs[Double]("f1") > 0.05)
+    assert(row.getAs[Double]("recall") > 0.8)
+    assert(row.getAs[Double]("mrr") > 0.1)
+  }
+}
