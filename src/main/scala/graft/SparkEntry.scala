@@ -32,7 +32,7 @@ object SparkEntry {
         .select("idA", "idB")),
     // --- similarity scoring (SURVEY §2.7) ---
     "pair_features" -> ((s, d) =>
-      EntryStages.feats(s, d).select("idA", "idB", "jw", "lev", "label")),
+      EntryStages.scoredp(s, d).select("idA", "idB", "jw", "lev", "label")),
     "scored_pairs_full" -> ((s, d) =>
       Scorer.scoreDF(EntryStages.cand(s, d), Scorer.broadcastProjection(s))),
     // --- threshold sweep / decision (SURVEY §2.4) ---
