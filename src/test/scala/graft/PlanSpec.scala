@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan assertions: the properties that matter at 100 TB are
+ * locked in as tests, not one-off .explain() checks — filter/column
+ * pushdown into the parquet scan, whole-stage codegen around the
+ * custom Jaro-Winkler expression, and the shuffled (never broadcast)
+ * candidate join.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  lazy val sf = SparkTestSession.sf0001
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = ops.TextOps.documents(spark, sf).filter(col("doc_id") < 10)
+      .select("doc_id", "lang")
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("column pruning reaches the scan (unused orders columns not read)") {
+    val plan = executed(gen.Synth.records(spark, sf).select("id", "lang"))
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("o_orderdate"),
+      "o_orderdate should be pruned from the orders scan")
+  }
+
+  test("jaro_winkler expression runs inside whole-stage codegen") {
+    val df = ops.TextOps.documents(spark, sf)
+      .select(functions.GraftFunctions.jaro_winkler(col("text"), col("source")).as("jw"))
+    val plan = executed(df)
+    // the project containing the expression is codegen'd (starred)
+    assert(plan.contains("jaro_winkler"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*") && l.contains("Project")), s"no codegen project:\n$plan")
+  }
+
+  test("candidate join is a shuffled hash join, never broadcast") {
+    val keyed = pipe.Blocking.withBlockKey(
+      pipe.Normalize(gen.Synth.records(spark, sf)))
+    val plan = executed(pipe.Blocking.candidates(keyed))
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "candidate join must not broadcast a data-sized side")
+  }
+}
