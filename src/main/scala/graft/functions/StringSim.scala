@@ -69,9 +69,11 @@ object StringSim {
   }
 
   /**
-   * Classic Levenshtein edit distance (two-row DP) with exact common
-   * prefix/suffix trimming — near-duplicate pairs (the hot path in
-   * linkage scoring) reduce to a DP over the few differing chars.
+   * Exact Levenshtein edit distance: common prefix/suffix trimming
+   * (near-duplicate hot path collapses to a few chars), then Myers'
+   * bit-parallel algorithm (blocked Hyyro variant, ~64 DP cells per
+   * word op) — exact, ~15x fewer ops than the two-row DP on the
+   * ~200-char contents this engine scores.
    */
   def levenshtein(s1: String, s2: String): Int = {
     if (s1 == s2) return 0
@@ -86,6 +88,80 @@ object StringSim {
     val t1 = s1.substring(lo, n1 - hi)
     val t2 = s2.substring(lo, n2 - hi)
     val (a, b) = if (t1.length <= t2.length) (t1, t2) else (t2, t1)
+    if (a.isEmpty) return b.length
+    myers(a, b)
+  }
+
+  /** Myers/Hyyro bit-parallel edit distance; p is the (shorter)
+    * pattern, t the text. Exact for any lengths (blocked). */
+  def myers(p: String, t: String): Int = {
+    val m = p.length
+    val n = t.length
+    val bl = (m + 63) >>> 6
+    // Peq bitmasks; ASCII fast path + map fallback for other chars
+    val peqAscii = Array.ofDim[Long](128, bl)
+    var other: java.util.HashMap[Character, Array[Long]] = null
+    var i = 0
+    while (i < m) {
+      val c = p.charAt(i)
+      val arr =
+        if (c < 128) peqAscii(c)
+        else {
+          if (other == null) other = new java.util.HashMap()
+          var a0 = other.get(c)
+          if (a0 == null) { a0 = new Array[Long](bl); other.put(c, a0) }
+          a0
+        }
+      arr(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    val vp = Array.fill(bl)(-1L)
+    val vn = new Array[Long](bl)
+    var score = m
+    val lastMask = 1L << ((m - 1) & 63)
+    val last = bl - 1
+    var j = 0
+    while (j < n) {
+      val c = t.charAt(j)
+      val peqC =
+        if (c < 128) peqAscii(c)
+        else if (other == null) null
+        else other.get(c)
+      var hin = 1
+      var b = 0
+      while (b < bl) {
+        var eq = if (peqC == null) 0L else peqC(b)
+        val pv = vp(b)
+        val mv = vn(b)
+        val xv = eq | mv
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        if (b == last) {
+          if ((ph & lastMask) != 0L) score += 1
+          else if ((mh & lastMask) != 0L) score -= 1
+        }
+        val hout =
+          if ((ph & Long.MinValue) != 0L) 1
+          else if ((mh & Long.MinValue) != 0L) -1
+          else 0
+        ph <<= 1
+        mh <<= 1
+        if (hin > 0) ph |= 1L else if (hin < 0) mh |= 1L
+        vp(b) = mh | ~(xv | ph)
+        vn(b) = ph & xv
+        hin = hout
+        b += 1
+      }
+      j += 1
+    }
+    score
+  }
+
+  /** Reference two-row DP (used to fuzz-validate [[myers]]). */
+  def levenshteinDP(s1: String, s2: String): Int = {
+    val (a, b) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
     if (a.isEmpty) return b.length
     val prev = new Array[Int](a.length + 1)
     val cur = new Array[Int](a.length + 1)

@@ -32,6 +32,26 @@ class StringSimSpec extends AnyFunSuite {
     assert(StringSim.jaroWinkler("x", "y") == 0.0)
   }
 
+  test("bit-parallel levenshtein == reference DP on 50k fuzzed pairs") {
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcdef XY_09", "日本語のテキスト abc")
+    var i = 0
+    while (i < 50000) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      def mk(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val a = mk(rnd.nextInt(200))
+      val b = if (rnd.nextBoolean()) {
+        val cs = a.toCharArray
+        if (cs.nonEmpty) cs(rnd.nextInt(cs.length)) = alpha(rnd.nextInt(alpha.length))
+        new String(cs)
+      } else mk(rnd.nextInt(200))
+      val got = StringSim.levenshtein(a, b)
+      val want = StringSim.levenshteinDP(a, b)
+      assert(got == want, s"myers=$got dp=$want for ${a.take(40)}.. vs ${b.take(40)}..")
+      i += 1
+    }
+  }
+
   test("levenshtein matches classic edit distance") {
     assert(StringSim.levenshtein("kitten", "sitting") == 3)
     assert(StringSim.levenshtein("", "abc") == 3)
