@@ -90,6 +90,8 @@ object SparkEntry {
     // --- Hungarian assignment + negative sampler (SURVEY §2.7, §2.9) ---
     "block_assignment" -> ((s, d) => ops.Assignment.blockAssignment(s, d)),
     "negative_samples" -> ((s, d) => sim.NegativeSampler.sample(s, d)),
+    // --- SEEA-style iterative mutual-NN self-learning (SURVEY §2.9) ---
+    "seea_pairs" -> ((s, d) => ops.Seea.iterate(s, d)),
     // --- TransE trainer + graph-embedding linkage eval (SURVEY §2.9) ---
     "transe_eval" -> ((s, d) => sim.TransE.eval(s, d)),
     // --- Structured Streaming (windowed agg over `events`) ---
