@@ -94,6 +94,8 @@ object SparkEntry {
     "seea_pairs" -> ((s, d) => ops.Seea.iterate(s, d)),
     // --- TransE trainer + graph-embedding linkage eval (SURVEY §2.9) ---
     "transe_eval" -> ((s, d) => sim.TransE.eval(s, d)),
+    "transh_eval" -> ((s, d) =>
+      sim.TransE.eval(s, d, sim.TransE.Config(transH = true))),
     // --- Structured Streaming (windowed agg over `events`) ---
     "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---

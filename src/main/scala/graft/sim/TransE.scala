@@ -24,9 +24,11 @@ object TransE {
 
   final case class Config(
       dim: Int = 16, epochs: Int = 10, lr: Double = 0.1,
-      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L)
+      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
+      transH: Boolean = false)
 
   final case class Model(ent: Array[Array[Float]], rel: Array[Array[Float]],
+                         wRel: Array[Array[Float]],
                          lossByEpoch: Array[Double])
 
   private def mix(a: Long, b: Long): Long = {
@@ -50,6 +52,10 @@ object TransE {
     val ent = init(nEnt)
     ent.foreach(Embed.l2normalize)
     val rel = init(nRel)
+    // TransH per-relation hyperplane normals (unit length,
+    // /root/reference/ER/transh.py:114-122)
+    val wRel = init(nRel)
+    wRel.foreach(Embed.l2normalize)
     val data = triples.select(col("h").cast("long"), col("t").cast("long"),
       col("r").cast("long")).as[(Long, Long, Long)].persist()
     data.count()
@@ -57,17 +63,17 @@ object TransE {
 
     var epoch = 0
     while (epoch < cfg.epochs) {
-      val entB = spark.sparkContext.broadcast(ent)
-      val relB = spark.sparkContext.broadcast(rel)
+      val entB = spark.sparkContext.broadcast((ent, rel, wRel))
       val ep = epoch
       val dim = cfg.dim
       val margin = cfg.margin
       val negRate = cfg.negRate
+      val transH = cfg.transH
       val nEntL = nEnt.toLong
+      val nRelL = nRel.toLong
       // per-partition sparse gradients + loss
       val grads = data.mapPartitions { it =>
-        val e = entB.value
-        val r = relB.value
+        val (e, r, wv) = entB.value
         val acc = new java.util.HashMap[Long, Array[Float]]()
         var loss = 0.0
         def g(id: Long): Array[Float] = {
@@ -83,25 +89,72 @@ object TransE {
             if (tNeg != t) {
               val eh = e(h.toInt); val et = e(t.toInt)
               val en = e(tNeg.toInt); val er = r(rl.toInt)
-              var pos = 0.0; var neg = 0.0
-              var i = 0
-              while (i < dim) {
-                pos += math.abs(eh(i) + er(i) - et(i))
-                neg += math.abs(eh(i) + er(i) - en(i))
-                i += 1
-              }
-              val l = pos - neg + margin
-              if (l > 0) {
-                loss += l
-                val gh = g(h); val gt = g(nEntL + t); val gn = g(nEntL + tNeg)
-                val gr = g(2 * nEntL + rl)
+              if (!transH) {
+                var pos = 0.0; var neg = 0.0
+                var i = 0
+                while (i < dim) {
+                  pos += math.abs(eh(i) + er(i) - et(i))
+                  neg += math.abs(eh(i) + er(i) - en(i))
+                  i += 1
+                }
+                val l = pos - neg + margin
+                if (l > 0) {
+                  loss += l
+                  val gh = g(h); val gt = g(nEntL + t); val gn = g(nEntL + tNeg)
+                  val gr = g(2 * nEntL + rl)
+                  i = 0
+                  while (i < dim) {
+                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                    val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
+                    gh(i) += sp - sn; gr(i) += sp - sn
+                    gt(i) -= sp; gn(i) += sn
+                    i += 1
+                  }
+                }
+              } else {
+                // TransH: v = (h - t) - (w.(h - t)) w + d_r, L1 margin
+                val w = wv(rl.toInt)
+                var wduP = 0.0; var wduN = 0.0
+                var i = 0
+                while (i < dim) {
+                  wduP += w(i) * (eh(i) - et(i))
+                  wduN += w(i) * (eh(i) - en(i))
+                  i += 1
+                }
+                var pos = 0.0; var neg = 0.0
                 i = 0
                 while (i < dim) {
-                  val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                  val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
-                  gh(i) += sp - sn; gr(i) += sp - sn
-                  gt(i) -= sp; gn(i) += sn
+                  pos += math.abs(eh(i) - et(i) - wduP * w(i) + er(i))
+                  neg += math.abs(eh(i) - en(i) - wduN * w(i) + er(i))
                   i += 1
+                }
+                val l = pos - neg + margin
+                if (l > 0) {
+                  loss += l
+                  var swP = 0.0; var swN = 0.0
+                  i = 0
+                  while (i < dim) {
+                    swP += math.signum(eh(i) - et(i) - wduP * w(i) + er(i)) * w(i)
+                    swN += math.signum(eh(i) - en(i) - wduN * w(i) + er(i)) * w(i)
+                    i += 1
+                  }
+                  val gh = g(h); val gt = g(nEntL + t); val gn = g(nEntL + tNeg)
+                  val gr = g(2 * nEntL + rl)
+                  val gw = g(2 * nEntL + nRelL + rl)
+                  i = 0
+                  while (i < dim) {
+                    val sp = math.signum(eh(i) - et(i) - wduP * w(i) + er(i))
+                    val sn = math.signum(eh(i) - en(i) - wduN * w(i) + er(i))
+                    val projP = (sp - swP * w(i)).toFloat
+                    val projN = (sn - swN * w(i)).toFloat
+                    gh(i) += projP - projN
+                    gt(i) -= projP
+                    gn(i) += projN
+                    gr(i) += (sp - sn).toFloat
+                    gw(i) += (-(swP * (eh(i) - et(i)) + wduP * sp)
+                      + (swN * (eh(i) - en(i)) + wduN * sn)).toFloat
+                    i += 1
+                  }
                 }
               }
             }
@@ -126,18 +179,20 @@ object TransE {
         val target =
           if (id < nEntL) ent(id.toInt)
           else if (id < 2 * nEntL) ent((id - nEntL).toInt)
-          else rel((id - 2 * nEntL).toInt)
+          else if (id < 2 * nEntL + nRelL) rel((id - 2 * nEntL).toInt)
+          else wRel((id - 2 * nEntL - nRelL).toInt)
         var i = 0
         while (i < cfg.dim) {
           target(i) = (target(i) - cfg.lr * gv(i)).toFloat; i += 1
         }
       }
       ent.foreach(Embed.l2normalize)
-      entB.destroy(); relB.destroy()
+      if (cfg.transH) wRel.foreach(Embed.l2normalize)
+      entB.destroy()
       epoch += 1
     }
     data.unpersist()
-    Model(ent, rel, losses)
+    Model(ent, rel, wRel, losses)
   }
 
   /**

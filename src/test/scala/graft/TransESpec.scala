@@ -23,6 +23,18 @@ class TransESpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-4)
   }
 
+  test("TransH (hyperplane projection) converges with unit normals") {
+    val ents = graph.GraphBuild.erEntities(spark, sf)
+    val nEnt = ents.count().toInt
+    val triples = graph.GraphBuild.erTriples(spark, sf)
+    val model = TransE.train(spark, triples, nEnt,
+      graph.GraphBuild.Relations.size, TransE.Config(epochs = 5, transH = true))
+    assert(model.lossByEpoch.head > model.lossByEpoch.last,
+      s"TransH loss did not decrease: ${model.lossByEpoch.toSeq}")
+    val wNorm = math.sqrt(model.wRel(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(wNorm - 1.0) < 1e-4)
+  }
+
   test("TransE linkage eval produces reference-tier quality") {
     val row = TransE.eval(spark, sf).head()
     // the reference's TransE scores F1 0.21-0.58 (BASELINE.md §2);
