@@ -20,15 +20,20 @@ object EntryStages {
   // `SparkEntry.queries` entries are independent functions; within one
   // JVM/driver run they share these memoized, persisted stages so the
   // verify harness doesn't recompute the scoring chain per query.
+  // Keyed on (identity, applicationId): a recycled identity hash of a
+  // GC'd session always belongs to a NEW SparkContext (fresh app id),
+  // so a collision can never serve DataFrames bound to a dead context.
+  private def sessionKey(spark: SparkSession): String =
+    s"${System.identityHashCode(spark)}:${spark.sparkContext.applicationId}"
+
   private val dfCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
   private val thetaCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), Double]()
+    scala.collection.concurrent.TrieMap[(String, String, String), Double]()
 
   private def cached(spark: SparkSession, sfDir: String, name: String)
                     (f: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name), f.persist())
+    dfCache.getOrElseUpdate((sessionKey(spark), sfDir, name), f.persist())
 
   def records(spark: SparkSession, sfDir: String): DataFrame =
     Synth.records(spark, sfDir)
@@ -76,13 +81,13 @@ object EntryStages {
 
   def theta(spark: SparkSession, sfDir: String): Double =
     thetaCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, "argmax"),
+      (sessionKey(spark), sfDir, "argmax"),
       Threshold.bestTheta(trainPairs(scoredp(spark, sfDir)),
         col("dist"), col("label")))
 
   def thetaRobust(spark: SparkSession, sfDir: String): Double =
     thetaCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, "robust"),
+      (sessionKey(spark), sfDir, "robust"),
       Threshold.bestThetaRobust(trainPairs(scoredp(spark, sfDir)),
         col("dist"), col("label")))
 

@@ -74,6 +74,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => ops.TextOps.docFingerprint(s, d)),
     // --- training-data pipeline: deduplication ---
     "dedup_exact" -> ((s, d) => ops.Dedup.exact(s, d)),
+    "dedup_shingle_df" -> ((s, d) => ops.Dedup.shingleDfStats(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "token_count" -> oracle.OracleSqlOps.tokenCount,
     "doc_fingerprint" -> oracle.OracleSqlOps.docFingerprint,
     "dedup_exact" -> oracle.OracleSqlOps.dedupExact,
+    "dedup_shingle_df" -> oracle.OracleSqlOps.shingleDfStats,
     "dedup_ngram_jaccard" -> oracle.OracleSqlOps.ngramJaccard,
     "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,

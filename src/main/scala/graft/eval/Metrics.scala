@@ -101,8 +101,11 @@ object Metrics {
     val agged = perQuery.agg(count(lit(1)).as("n_queries"), spCols: _*).head()
     val n = agged.getAs[Long]("n_queries")
     import scored.sparkSession.implicits._
+    // n == 0 (no query with a relevant candidate): emit 0.0 rather than
+    // NaN, matching a COALESCE'd oracle expression on degenerate inputs.
     ks.map(k => (k.toLong, n,
-        agged.getAs[Long](s"sp_$k").toDouble / n / 1000000.0))
+        if (n == 0) 0.0
+        else agged.getAs[Long](s"sp_$k").toDouble / n / 1000000.0))
       .toDF("k", "n_queries", "mean_p_at_k")
   }
 

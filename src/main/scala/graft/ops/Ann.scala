@@ -47,9 +47,15 @@ object Ann {
         }
       }
     }.toDF("query_id", "neighbor_id", "cos")
+    // rank on micro-unit-rounded cosine: the oracle computes cosine with
+    // a different kernel (DuckDB list_cosine_similarity); ranking raw
+    // doubles would let a one-ulp divergence between near-equal values
+    // flip ranks and fail the exact compare.
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("cos_micros").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("cos_micros", round(col("cos") * 1000000.0).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }

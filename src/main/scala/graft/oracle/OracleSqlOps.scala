@@ -86,11 +86,16 @@ FROM d JOIN g USING (fp)"""
 
   private val shinglesCte = s"""WITH t AS (
   SELECT doc_id, string_split($normText, ' ') AS toks FROM documents
-), sh AS (
+), shall AS (
   SELECT doc_id,
          unnest(list_distinct([md5(array_to_string(list_slice(toks, i, i + 2), ' '))
                 for i in range(1, greatest(len(toks) - 2, 1) + 1)])) AS shingle
   FROM t
+), keep AS (
+  SELECT shingle FROM shall GROUP BY shingle
+  HAVING COUNT(*) <= ${graft.ops.Dedup.ShingleDfCap}
+), sh AS (
+  SELECT doc_id, shingle FROM shall JOIN keep USING (shingle)
 ), sizes AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -98,6 +103,13 @@ FROM d JOIN g USING (fp)"""
   FROM sh s1 JOIN sh s2 USING (shingle)
   WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2
 )"""
+
+  val shingleDfStats: String = shinglesCte + s"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN df > ${graft.ops.Dedup.ShingleDfCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(MAX(df) AS BIGINT) AS max_df,
+  CAST(${graft.ops.Dedup.ShingleDfCap} AS BIGINT) AS df_cap
+FROM (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM shall GROUP BY shingle)"""
 
   val ngramJaccard: String = shinglesCte + """
 SELECT doc1, doc2, inter / (n1 + n2 - inter) AS jaccard
@@ -160,11 +172,12 @@ FROM documents"""
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50
 ), scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos
+  SELECT query_id, e.vec_id AS neighbor_id,
+    CAST(round(list_cosine_similarity(qv, v) * 1000000) AS BIGINT) AS cos_micros
   FROM q CROSS JOIN e WHERE e.vec_id <> query_id
 ), ranked AS (
   SELECT query_id,
-    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, neighbor_id) AS BIGINT) AS rank,
     neighbor_id
   FROM scored
 )

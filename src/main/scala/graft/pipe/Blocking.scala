@@ -61,16 +61,25 @@ object Blocking {
     if (salts == 1) {
       a.join(b.hint("shuffle_hash"), "block_key")
     } else {
-      // Hot keys: bounded driver-side set (<= |A| / hotThreshold keys).
-      val hotKeys: Seq[String] = a.groupBy("block_key").count()
+      // Hot keys stay a DataFrame, broadcast-joined as an `is_hot` flag:
+      // never collect()ed to the driver and never inlined as an isin
+      // literal — at 10^10+ rows the hot set (<= |A| / hotThreshold
+      // keys, in practice the short Zipf head) would otherwise blow up
+      // driver memory and the plan size. The flag join is broadcast, so
+      // neither side reshuffles before the main salted join.
+      val hot = a.groupBy("block_key").count()
         .filter(col("count") >= hotThreshold)
-        .select("block_key").collect().map(_.getString(0)).toSeq
-      val isHot = col("block_key").isin(hotKeys: _*)
-      val aS = a.withColumn("salt",
-        when(isHot, pmod(hash(col("idA")), lit(salts))).otherwise(lit(0)))
-      val bS = b.withColumn("salt", explode(
-        when(isHot, sequence(lit(0), lit(salts - 1)))
-          .otherwise(array(lit(0)))))
+        .select(col("block_key"), lit(true).as("is_hot"))
+      val isHot = coalesce(col("is_hot"), lit(false))
+      val aS = a.join(broadcast(hot), Seq("block_key"), "left")
+        .withColumn("salt",
+          when(isHot, pmod(hash(col("idA")), lit(salts))).otherwise(lit(0)))
+        .drop("is_hot")
+      val bS = b.join(broadcast(hot), Seq("block_key"), "left")
+        .withColumn("salt", explode(
+          when(isHot, sequence(lit(0), lit(salts - 1)))
+            .otherwise(array(lit(0)))))
+        .drop("is_hot")
       aS.join(bS.hint("shuffle_hash"), Seq("block_key", "salt")).drop("salt")
     }
   }

@@ -35,8 +35,13 @@ object Embed {
   }
 
   /** FNV-1a 32-bit over UTF-16 chars; stable across JVMs. */
-  def fnv1a(s: CharSequence, from: Int, until: Int): Int = {
-    var h = 0x811c9dc5
+  def fnv1a(s: CharSequence, from: Int, until: Int): Int =
+    fnv1aSeeded(s, from, until, 0x811c9dc5)
+
+  /** FNV-1a with an explicit offset basis: two different bases give two
+    * (near-)independent 32-bit hashes of the same token. */
+  def fnv1aSeeded(s: CharSequence, from: Int, until: Int, basis: Int): Int = {
+    var h = basis
     var i = from
     while (i < until) {
       val c = s.charAt(i)

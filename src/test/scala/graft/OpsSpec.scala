@@ -57,6 +57,18 @@ class OpsSpec extends AnyFunSuite {
     assert(neg1.count() >= truth.count() * 2)
   }
 
+  test("LSH verification intersects only the candidate set") {
+    import spark.implicits._
+    // docs 1,2,3 all co-shingle, but only (1,2) is an LSH candidate:
+    // the verify path must never compute the (1,3)/(2,3) intersections.
+    val sh = Seq((1L, "s1"), (1L, "s2"), (2L, "s1"), (2L, "s2"),
+      (3L, "s1"), (3L, "s2")).toDF("doc_id", "shingle")
+    val cands = Seq((1L, 2L)).toDF("doc1", "doc2")
+    val inter = Dedup.candidateIntersections(cands, sh).collect()
+    assert(inter.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(inter.head.getLong(2) == 2L)
+  }
+
   test("simhash: identical texts collide, near texts are close") {
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
     val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog")

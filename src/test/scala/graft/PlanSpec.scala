@@ -61,12 +61,20 @@ class PlanSpec extends AnyFunSuite {
     assert(prunedOk, s"commit not in partition filters:\n$plan")
   }
 
-  test("candidate join is a shuffled hash join, never broadcast") {
+  test("candidate join is a shuffled hash join; no literal hot-key list") {
     val keyed = pipe.Blocking.withBlockKey(
       pipe.Normalize(gen.Synth.records(spark, sf)))
     val plan = executed(pipe.Blocking.candidates(keyed))
     assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      "candidate join must not broadcast a data-sized side")
+    // The data-sized pair join must not broadcast. The bounded hot-key
+    // FLAG join is the only permitted broadcast: it joins on block_key
+    // and carries no content column.
+    plan.linesIterator.filter(_.contains("BroadcastHashJoin")).foreach { l =>
+      assert(l.contains("block_key") && !l.contains("content"),
+        s"unexpected data-sized broadcast:\n$l")
+    }
+    // hot keys must arrive as a joined flag, never an inlined isin list
+    assert(!plan.contains("INSET") && !plan.contains(" IN ("),
+      s"literal hot-key list inlined into the plan:\n$plan")
   }
 }
