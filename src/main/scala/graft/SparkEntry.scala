@@ -56,7 +56,10 @@ object SparkEntry {
     // --- knowledge-graph encodings (SURVEY §1.3, §2.1) ---
     "graph_er_entities" -> ((s, d) => graph.GraphBuild.erEntities(s, d)),
     "graph_er_triples" -> ((s, d) => graph.GraphBuild.erTriples(s, d)),
+    "graph_ear_triples" -> ((s, d) => graph.GraphBuild.earTriples(s, d)),
     "graph_veg_triples" -> ((s, d) => graph.GraphBuild.vegTriples(s, d)),
+    "graph_veg_train_triples" -> ((s, d) =>
+      graph.GraphBuild.vegTrainTriples(s, d)),
     "mutual_nn" -> ((s, d) => EntryStages.mutualNn(s, d)),
     "topk_fn" -> ((s, d) => EntryStages.topkFn(s, d)),
     "topk_fp" -> ((s, d) => EntryStages.topkFp(s, d)),
@@ -124,7 +127,9 @@ object SparkEntry {
     "ir_p_at_k" -> OracleSql.irPAtK,
     "graph_er_entities" -> OracleSql.graphErEntities,
     "graph_er_triples" -> OracleSql.graphErTriples,
+    "graph_ear_triples" -> OracleSql.graphEarTriples,
     "graph_veg_triples" -> OracleSql.graphVegTriples,
+    "graph_veg_train_triples" -> OracleSql.graphVegTrainTriples,
     "mutual_nn" -> OracleSql.mutualNn,
     "topk_fn" -> OracleSql.topkFn,
     "topk_fp" -> OracleSql.topkFp,

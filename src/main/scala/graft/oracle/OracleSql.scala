@@ -31,6 +31,8 @@ object OracleSql {
          ELSE 'c' || CAST(ck AS VARCHAR) END AS custtok,
     CASE st WHEN 'F' THEN 'fin' WHEN 'O' THEN 'open'
          ELSE 'pend' END AS stword,
+    CASE st WHEN 'F' THEN 'done' WHEN 'O' THEN 'live'
+         ELSE 'wait' END AS stwordb,
     lower(replace(pri, '-', ' ')) AS priw,
     CAST(CAST(floor(tp) AS BIGINT) AS VARCHAR) AS valtok,
     CAST(k AS VARCHAR) AS ktok,
@@ -44,20 +46,34 @@ object OracleSql {
 ), contented AS (
   SELECT enr.*, concat_ws(' ', 'fn', custtok, w1, stword, priw, w2,
                       'val', valtok, 'k', ktok,
-                      ${Synth.fillerSql.mkString(",\n                      ")}) AS content_a
+                      ${Synth.fillerSql.mkString(",\n                      ")}) AS content_a,
+    concat_ws(' ', 'fn', custtok, w1, stwordb, priw, w2,
+                      'val', valtok, 'k', ktok,
+                      ${Synth.fillerSql.mkString(",\n                      ")}) AS content_b0,
+    concat_ws(' ', 'fn', custtok, stword,
+                      ${Synth.ckFillerSql.mkString(",\n                      ")},
+                      'o', CAST(k % 100 AS VARCHAR)) AS tmpl_a,
+    concat_ws(' ', 'fn', custtok, stwordb,
+                      ${Synth.ckFillerSql.mkString(",\n                      ")},
+                      'o', CAST(k % 100 AS VARCHAR)) AS tmpl_b,
+    concat_ws(' ', 'fn', custtok, stwordb, w2, 'k', ktok) AS heavy_b
   FROM enr
 ), sided AS (
   SELECT k * 2 AS id, 'A' AS side, k, ck, custtok, lang, ext,
-         content_a AS content
+         CASE WHEN k % 47 = 11 THEN tmpl_a ELSE content_a END AS content,
+         stword AS st, w1 AS w1f, priw AS prif, valtok AS valf
   FROM contented WHERE k % 17 <> 5
   UNION ALL
   SELECT k * 2 + 1 AS id, 'B' AS side, k, ck, custtok, lang, ext,
-    CASE CAST(k % 5 AS INT)
-      WHEN 1 THEN upper(substr(content_a, 1, 2)) || substr(content_a, 3, length(content_a))
-      WHEN 2 THEN replace(content_a, ' val ', '  val ')
-      WHEN 3 THEN substr(content_a, 4, length(content_a))
-      WHEN 4 THEN replace(content_a, ' val ', ' value ')
-      ELSE content_a END AS content
+    CASE WHEN k % 149 = 3 THEN heavy_b
+         WHEN k % 47 = 11 THEN tmpl_b
+         ELSE CASE CAST(k % 5 AS INT)
+      WHEN 1 THEN upper(substr(content_b0, 1, 2)) || substr(content_b0, 3, length(content_b0))
+      WHEN 2 THEN replace(content_b0, ' val ', '  val ')
+      WHEN 3 THEN substr(content_b0, 4, length(content_b0))
+      WHEN 4 THEN replace(content_b0, ' val ', ' value ')
+      ELSE content_b0 END END AS content,
+    stwordb AS st, w1 AS w1f, priw AS prif, valtok AS valf
   FROM contented WHERE k % 19 <> 7
 ), records AS (
   SELECT id, side,
@@ -66,7 +82,8 @@ object OracleSql {
     CASE side WHEN 'A' THEN 'c1' ELSE 'c2' END AS "commit",
     lang, content, k AS dni,
     CASE WHEN k % 10 < 6 THEN 'train' WHEN k % 10 < 8 THEN 'val'
-         ELSE 'test' END AS split
+         ELSE 'test' END AS split,
+    st, w1f, prif, valf
   FROM sided
 ), normrec AS (
   SELECT *, trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) AS content_norm,
@@ -114,7 +131,8 @@ object OracleSql {
   private def q(body: String): String = prefix + body
 
   val recordsSynth: String = q(
-    """SELECT id, side, repo, path, "commit", lang, content, dni, split FROM records""")
+    """SELECT id, side, repo, path, "commit", lang, content, dni, split,
+       st, w1f, prif, valf FROM records""")
 
   val normalizeSha: String = q(
     "SELECT id, content_norm, sha FROM normrec")
@@ -214,13 +232,17 @@ object OracleSql {
        WHERE label = 0 AND dist <= (SELECT theta FROM best)
        ORDER BY dist ASC, idA, idB LIMIT 5""")
 
-  private val rawtCte = """, rawt AS (
-      SELECT 'r' || CAST(id AS VARCHAR) AS rec, 'block:' || block_key AS value,
-             CAST(0 AS BIGINT) AS rel_id FROM keyed
-      UNION ALL
-      SELECT 'r' || CAST(id AS VARCHAR), 'lang:' || lang, CAST(1 AS BIGINT) FROM keyed
-      UNION ALL
-      SELECT 'r' || CAST(id AS VARCHAR), 'repo:' || repo, CAST(2 AS BIGINT) FROM keyed
+  /** The 7 field relations in rel-id order; single source of truth is
+    * [[graft.graph.GraphBuild.Relations]]. */
+  private def relValSql(rel: String): String =
+    if (rel == "block") "block_key" else rel
+
+  private val rawtCte = ", rawt AS (\n" +
+    graft.graph.GraphBuild.Relations.zipWithIndex.map { case (rel, rid) =>
+      s"      SELECT 'r' || CAST(id AS VARCHAR) AS rec, " +
+        s"'$rel:' || ${relValSql(rel)} AS value, " +
+        s"CAST($rid AS BIGINT) AS rel_id FROM keyed"
+    }.mkString("\n      UNION ALL\n") + """
     ), ents AS (
       SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS ent_id
       FROM (SELECT rec AS label FROM rawt UNION SELECT value FROM rawt)
@@ -234,21 +256,45 @@ object OracleSql {
     JOIN ents eh ON eh.label = rawt.rec
     JOIN ents et ON et.label = rawt.value""")
 
-  val graphVegTriples: String = q(""", truthp AS (
-      SELECT idA, idB FROM cand WHERE dni_a = dni_b
+  val graphEarTriples: String = {
+    val attrIds = graft.graph.GraphBuild.Relations.zipWithIndex
+      .collect { case (rel, rid)
+        if graft.graph.GraphBuild.AttributionalRels.contains(rel) => rid }
+      .mkString(", ")
+    q(rawtCte + s"""
+    SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r,
+      CAST(CASE WHEN rawt.rel_id IN ($attrIds) THEN 1 ELSE 0 END AS BIGINT) AS is_attr
+    FROM rawt
+    JOIN ents eh ON eh.label = rawt.rec
+    JOIN ents et ON et.label = rawt.value""")
+  }
+
+  private def vegSql(truthFilter: String): String = {
+    val rels = graft.graph.GraphBuild.Relations
+    val aCols = rels.map(r => s"${relValSql(r)} AS a_$r").mkString(", ")
+    val bCols = rels.map(r => s"${relValSql(r)} AS b_$r").mkString(", ")
+    val vt = rels.zipWithIndex.map { case (r, rid) =>
+      s"      SELECT a_$r AS val_a, b_$r AS val_b, CAST($rid AS BIGINT) AS r FROM joinedv"
+    }.mkString("\n      UNION ALL\n")
+    s""", truthp AS (
+      SELECT idA, idB FROM cand WHERE $truthFilter
     ), ka AS (
-      SELECT id AS idA, block_key AS ba, lang AS la, repo AS ra FROM keyed
+      SELECT id AS idA, $aCols FROM keyed
     ), kb AS (
-      SELECT id AS idB, block_key AS bb, lang AS lb, repo AS rb FROM keyed
+      SELECT id AS idB, $bCols FROM keyed
     ), joinedv AS (
       SELECT * FROM truthp JOIN ka USING (idA) JOIN kb USING (idB)
     ), vt AS (
-      SELECT ba AS val_a, bb AS val_b, CAST(0 AS BIGINT) AS r FROM joinedv
-      UNION ALL SELECT la, lb, CAST(1 AS BIGINT) FROM joinedv
-      UNION ALL SELECT ra, rb, CAST(2 AS BIGINT) FROM joinedv
+$vt
     )
     SELECT val_a, val_b, r, CAST(COUNT(*) AS BIGINT) AS n
-    FROM vt GROUP BY val_a, val_b, r""")
+    FROM vt GROUP BY val_a, val_b, r"""
+  }
+
+  val graphVegTriples: String = q(vegSql("dni_a = dni_b"))
+
+  val graphVegTrainTriples: String = q(vegSql(
+    "dni_a = dni_b AND split_a = 'train' AND split_b = 'train'"))
 
   val irPAtK: String = q(""", ranked AS (
       SELECT idA, idB, label,

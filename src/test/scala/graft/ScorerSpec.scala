@@ -20,11 +20,22 @@ class ScorerSpec extends AnyFunSuite {
   }
 
   test("exact-match pairs short-circuit to score 1.0") {
-    val scored = Scorer.scoreDF(EntryStages.cand(spark, sf),
-      Scorer.broadcastProjection(spark))
-    val exact = scored.filter(col("jw") === 1.0 && col("lev") === 1.0)
-    assert(exact.count() > 0)
-    assert(exact.filter(col("score") =!= 1.0).count() == 0)
+    // the synthetic data no longer contains exact dups (every B-side
+    // record evolves the st field), so drive the short-circuit with a
+    // constructed pair: identical contents must score exactly 1.0
+    // without touching the string kernels.
+    import spark.implicits._
+    val cand = Seq(
+      (1L, 2L, "b", "fn c1 alpha fin", "fn c1 alpha fin", 7L, 7L, "test", "test"),
+      (3L, 4L, "b", "fn c1 alpha fin", "fn c1 alpha done", 8L, 8L, "test", "test"))
+      .toDF("idA", "idB", "block_key", "content_a", "content_b",
+        "dni_a", "dni_b", "split_a", "split_b")
+    val scored = Scorer.scoreDF(cand, Scorer.broadcastProjection(spark))
+    val exact = scored.filter(col("idA") === 1).head()
+    assert(exact.getAs[Double]("jw") == 1.0 && exact.getAs[Double]("lev") == 1.0
+      && exact.getAs[Double]("score") == 1.0)
+    val near = scored.filter(col("idA") === 3).head()
+    assert(near.getAs[Double]("score") < 1.0 && near.getAs[Double]("score") > 0.5)
   }
 
   test("embedding vectors: deterministic, unit-norm, cosine sane") {
