@@ -100,6 +100,8 @@ object SparkEntry {
     "transe_eval" -> ((s, d) => sim.TransE.eval(s, d)),
     "transh_eval" -> ((s, d) =>
       sim.TransE.eval(s, d, sim.TransE.Config(transH = true))),
+    // --- RLTransE: per-relation value embeddings over the VEG graph ---
+    "rltranse_eval" -> ((s, d) => sim.RLTransE.eval(s, d)),
     // --- Structured Streaming (windowed agg over `events`) ---
     "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---

@@ -1,0 +1,296 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphBuild
+
+/**
+ * RLTransE — the reference's flagship embedding method (census F1
+ * 0.95): TransE trained over the VALUE-EVOLUTION GRAPH, with one value
+ * vocabulary per relation packed into a single embedding table by
+ * offset indexing `id = rel * maxValCount + valIndex`
+ * (/root/reference/VEG/rltranse.py:59-84), per-relation negative
+ * sampling (corrupted tails drawn from the SAME relation's value range,
+ * /root/reference/VEG/rltranse.py:33-53 + common.py get_negative_samples),
+ * and per-field pair scoring (/root/reference/tests/test_census_rl.py:63-103):
+ *
+ *   field distance = 0                      if val_a == val_b
+ *                  = 1                      if either value missing
+ *                                           from the TRAIN vocabulary
+ *                  = |cosine_dist(emb(val_a) + rel_r, emb(val_b))|
+ *   pair distance  = sum over scored fields
+ *
+ * Spark shape: the trainer is [[TransE.train]] (broadcast model, one
+ * gradient shuffle per epoch); vocabularies are dictionary DataFrames
+ * reduced to a model-sized broadcast (they ARE the model's row index);
+ * scoring is one mapPartitions pass over the test candidate pairs with
+ * field values attached by join.
+ */
+object RLTransE {
+
+  final case class Config(
+      dim: Int = 32, epochs: Int = 200, lr: Double = 0.1,
+      margin: Double = 1.0, negRate: Int = 8, batchSize: Int = 128,
+      seed: Long = 42L)
+
+  /** Fields scored per pair: every relation except the blocking key
+    * (equal by construction within a block), mirroring the reference's
+    * field_relation_map which omits the blocking field
+    * (/root/reference/tests/test_census_rl.py:55-62). */
+  final val ScoredRels: Seq[String] = GraphBuild.Relations.filter(_ != "block")
+
+  final case class Model(
+      ent: Array[Array[Float]], rel: Array[Array[Float]],
+      vocab: Array[Map[String, Int]], maxValCount: Int,
+      lossByEpoch: Array[Double]) {
+    /** Packed embedding row for (relation, value), if in vocabulary. */
+    def valueRow(rid: Int, value: String): Option[Array[Float]] =
+      vocab(rid).get(value).map(v => ent(rid * maxValCount + v))
+  }
+
+  /** Per-relation value dictionary over the TRAIN VEG graph:
+    * (r, value, vidx) with dense per-relation indices. */
+  def vocabulary(vegTrain: DataFrame): DataFrame = {
+    val vals = vegTrain.select(col("r"), col("val_a").as("value"))
+      .union(vegTrain.select(col("r"), col("val_b").as("value")))
+      .distinct()
+    vals.withColumn("vidx",
+      (row_number().over(Window.partitionBy("r").orderBy("value")) - 1)
+        .cast("long"))
+  }
+
+  def train(spark: SparkSession, sfDir: String,
+            cfg: Config = Config()): Model = {
+    val nRel = GraphBuild.Relations.size
+    val vegTrain = GraphBuild.vegTrainTriples(spark, sfDir).persist()
+    val vocabDf = vocabulary(vegTrain).persist()
+    // the dictionary IS the model's row index: model-sized by
+    // construction, so collecting it costs what broadcasting the
+    // embedding matrix already costs.
+    val vocabRows = vocabDf.collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getLong(2).toInt))
+    val vocab = Array.tabulate(nRel) { rid =>
+      vocabRows.filter(_._1 == rid).map(v => v._2 -> v._3).toMap
+    }
+    val counts = vocab.map(_.size)
+    val maxVal = counts.max
+    val tailRanges = Array.tabulate(nRel)(rid =>
+      (rid.toLong * maxVal, counts(rid).toLong))
+
+    // Offset-indexed triples over the DISTINCT value-pair graph —
+    // vocab-pair-sized (the evolution structure itself), NOT
+    // data-sized: Spark distributes the heavy part (deriving the graph
+    // from all pairs, and later scoring all candidate pairs); the
+    // model-sized SGD loop runs driver-side with the reference's own
+    // mini-batch scheme (batchSize 128, lr 0.1,
+    // /root/reference/VEG/rltranse.py:22-27), which converges where a
+    // full-batch distributed epoch oscillates.
+    val va = vocabDf.select(col("r"), col("value").as("val_a"),
+      col("vidx").as("ia"))
+    val vb = vocabDf.select(col("r"), col("value").as("val_b"),
+      col("vidx").as("ib"))
+    val triples = vegTrain
+      .join(va, Seq("r", "val_a")).join(vb, Seq("r", "val_b"))
+      .select(
+        (col("r") * maxVal + col("ia")).cast("long").as("h"),
+        (col("r") * maxVal + col("ib")).cast("long").as("t"),
+        col("r").cast("long"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getLong(2).toInt))
+      .sortBy(t => (t._3, t._1, t._2)) // deterministic base order
+    vegTrain.unpersist(); vocabDf.unpersist()
+    val (ent, rel, losses) = sgd(triples, nRel * maxVal, nRel,
+      tailRanges, cfg)
+    Model(ent, rel, vocab, maxVal, losses)
+  }
+
+  /**
+   * Seeded per-triple SGD over the distinct VEG triples with the
+   * reference's loss: ONE hinge per triple against the MEAN of its
+   * corrupted-tail scores, max(0, ||h+r-t||_1 - mean_j ||h+r-t'_j||_1
+   * + margin) with L1 subgradients (/root/reference/VEG/rltranse.py:99-107
+   * reduce_mean over the negative axis), corrupted tails drawn from
+   * the relation's OWN value range (rltranse.py:33-53), and L2
+   * normalization of every touched row after each update — the local
+   * analogue of the reference normalizing every lookup
+   * (rltranse.py:93-98). Single-threaded and seeded:
+   * bit-deterministic.
+   */
+  private def sgd(triples: Array[(Int, Int, Int)], nEnt: Int, nRel: Int,
+                  tailRanges: Array[(Long, Long)],
+                  cfg: Config): (Array[Array[Float]], Array[Array[Float]],
+                                 Array[Double]) = {
+    val rnd = new java.util.Random(cfg.seed)
+    val dim = cfg.dim
+    val bound = (6.0 / math.sqrt(dim)).toFloat
+    def init(n: Int) = Array.fill(n)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat * bound))
+    val ent = init(nEnt); ent.foreach(Embed.l2normalize)
+    val rel = init(nRel); rel.foreach(Embed.l2normalize)
+    val losses = new Array[Double](cfg.epochs)
+    val order = triples.indices.toArray
+    val negs = new Array[Int](cfg.negRate)
+    val lrF = cfg.lr.toFloat
+    var epoch = 0
+    while (epoch < cfg.epochs) {
+      // Fisher-Yates shuffle (seeded) = the reference's epoch shuffle
+      var i = order.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val tmp = order(i); order(i) = order(j); order(j) = tmp
+        i -= 1
+      }
+      var loss = 0.0
+      var p = 0
+      while (p < order.length) {
+        val (h, t, r) = triples(order(p))
+        val (base, cnt) = tailRanges(r)
+        var nNeg = 0
+        var j = 0
+        while (j < cfg.negRate) {
+          if (cnt > 1) {
+            val cand = (base + rnd.nextInt(cnt.toInt)).toInt
+            if (cand != t) { negs(nNeg) = cand; nNeg += 1 }
+          }
+          j += 1
+        }
+        if (nNeg > 0) {
+          val eh = ent(h); val et = ent(t); val er = rel(r)
+          var pos = 0.0
+          var negMean = 0.0
+          var d = 0
+          while (d < dim) {
+            pos += math.abs(eh(d) + er(d) - et(d)); d += 1
+          }
+          j = 0
+          while (j < nNeg) {
+            val en = ent(negs(j))
+            var s = 0.0
+            d = 0
+            while (d < dim) { s += math.abs(eh(d) + er(d) - en(d)); d += 1 }
+            negMean += s
+            j += 1
+          }
+          negMean /= nNeg
+          val l = pos - negMean + cfg.margin
+          if (l > 0) {
+            loss += l
+            val inv = 1.0f / nNeg
+            d = 0
+            while (d < dim) {
+              val sp = math.signum(eh(d) + er(d) - et(d)).toFloat
+              var snSum = 0.0f
+              j = 0
+              while (j < nNeg) {
+                val en = ent(negs(j))
+                val sn = math.signum(eh(d) + er(d) - en(d)).toFloat * inv
+                en(d) -= lrF * sn // negative tail pushed AWAY from h+r
+                snSum += sn
+                j += 1
+              }
+              eh(d) -= lrF * (sp - snSum)
+              er(d) -= lrF * (sp - snSum)
+              et(d) += lrF * sp
+              d += 1
+            }
+            Embed.l2normalize(eh); Embed.l2normalize(et)
+            Embed.l2normalize(er)
+            j = 0
+            while (j < nNeg) { Embed.l2normalize(ent(negs(j))); j += 1 }
+          }
+        }
+        p += 1
+      }
+      losses(epoch) = loss
+      epoch += 1
+    }
+    (ent, rel, losses)
+  }
+
+  /**
+   * Per-field translated-cosine scores for the TEST candidate pairs:
+   * (idA, idB, label, dist, st_dist). `st_dist` isolates the evolving
+   * field — the direct evidence that the trainer learned the
+   * fin->done / open->live / pend->wait value translations.
+   */
+  def pairScores(spark: SparkSession, sfDir: String,
+                 model: Model): DataFrame = {
+    import spark.implicits._
+    val keyed = graft.EntryStages.keyed(spark, sfDir)
+    def sideFields(idCol: String, prefix: String) =
+      keyed.select(Seq(col("id").as(idCol)) ++
+        ScoredRels.map(r => col(r).as(s"$prefix$r")): _*)
+    val cand = graft.EntryStages.cand(spark, sfDir)
+      .filter(col("split_a") === "test" && col("split_b") === "test")
+      .select(col("idA"), col("idB"),
+        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+      .join(sideFields("idA", "a_"), "idA")
+      .join(sideFields("idB", "b_"), "idB")
+    val relIds = ScoredRels.map(GraphBuild.Relations.indexOf).toArray
+    val stPos = ScoredRels.indexOf("st")
+    val bcast = spark.sparkContext.broadcast(
+      (model.ent, model.rel, model.vocab, model.maxValCount))
+    val cols = Seq(col("idA"), col("idB"), col("label")) ++
+      ScoredRels.flatMap(r => Seq(col(s"a_$r"), col(s"b_$r")))
+    cand.select(cols: _*).map { row =>
+      val (ent, rel, vocab, maxVal) = bcast.value
+      val idA = row.getLong(0); val idB = row.getLong(1)
+      val label = row.getLong(2)
+      var dist = 0.0
+      var stDist = 0.0
+      var f = 0
+      while (f < relIds.length) {
+        val va = row.getString(3 + 2 * f)
+        val vb = row.getString(4 + 2 * f)
+        val rid = relIds(f)
+        val dd =
+          if (va == vb) 0.0
+          else {
+            val ia = vocab(rid).get(va)
+            val ib = vocab(rid).get(vb)
+            if (ia.isEmpty || ib.isEmpty) 1.0
+            else {
+              val ea = ent(rid * maxVal + ia.get)
+              val eb = ent(rid * maxVal + ib.get)
+              val er = rel(rid)
+              val shifted = new Array[Float](ea.length)
+              var i = 0
+              while (i < ea.length) { shifted(i) = ea(i) + er(i); i += 1 }
+              Embed.cosineDistance(shifted, eb)
+            }
+          }
+        if (f == stPos) stDist = dd
+        dist += dd
+        f += 1
+      }
+      (idA, idB, label, dist, stDist)
+    }.toDF("idA", "idB", "label", "dist", "st_dist")
+  }
+
+  /** Summary row: config, threshold, test F1/P/R, MRR, and the mean
+    * st-field distance over TRUE pairs in micro-units (low = the value
+    * evolution was actually learned). */
+  def eval(spark: SparkSession, sfDir: String,
+           cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val model = train(spark, sfDir, cfg)
+    val scores = pairScores(spark, sfDir, model).persist()
+    val theta = graft.pipe.Threshold.bestThetaRobust(
+      scores, col("dist"), col("label"))
+    val m = graft.eval.Metrics.pairMetrics(scores,
+      (col("dist") <= theta).cast("int"), col("label")).head()
+    val ir = graft.eval.Metrics.irMetrics(scores, col("dist"), col("label"))
+      .head()
+    val tpSt = scores.filter(col("label") === 1)
+      .agg(avg("st_dist")).head().getDouble(0)
+    scores.unpersist()
+    Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
+      m.getAs[Double]("f1"), m.getAs[Double]("precision"),
+      m.getAs[Double]("recall"), ir.getAs[Double]("mrr"),
+      math.round(tpSt * 1000000)))
+      .toDF("dim", "epochs", "theta", "f1", "precision", "recall", "mrr",
+        "tp_st_dist_micros")
+  }
+}

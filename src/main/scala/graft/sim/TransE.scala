@@ -10,22 +10,39 @@ import org.apache.spark.sql.functions._
  * trained as parameter-averaged SGD: per epoch the weight matrices are
  * BROADCAST, each partition accumulates sparse gradients over its
  * triples with HASH-seeded (replayable) negative tail corruption
- * (/root/reference/common.py:72-129), gradients reduce by entity id,
- * and the driver applies the update + L2-normalizes entity rows
- * (/root/reference/ER/transe.py:41-44).
+ * (/root/reference/common.py:72-129), gradients REDUCE BY ENTITY ID in
+ * one shuffle (exact integer micro-units, so the reduction is
+ * order-independent and the training bit-deterministic), and only the
+ * reduced model-sized rows reach the driver, which applies the update
+ * + L2-normalizes entity rows (/root/reference/ER/transe.py:41-44).
  *
  * Scale shape: broadcast size is O(|entities| x dim) — the model, not
  * the data; gradient traffic is one shuffle of touched-entity rows per
- * epoch. Embedding quality mirrors the reference's TransE tier
- * (F1 0.2-0.6), far below the string+cosine flagship — kept for
- * operator parity, not as the decision path.
+ * epoch and the driver holds nothing data-sized. Embedding quality
+ * mirrors the reference's TransE tier (F1 0.2-0.6), far below the
+ * string+cosine flagship — kept for operator parity, not as the
+ * decision path.
+ *
+ * Negative sampling can be restricted PER RELATION via
+ * [[Config.tailRanges]]: corrupted tails are drawn from the relation's
+ * own id range, the RLTransE scheme where each relation owns a value
+ * vocabulary (/root/reference/VEG/rltranse.py:33-53).
  */
 object TransE {
 
+  /**
+   * @param normalizeRel L2-normalize relation rows per epoch, as the
+   *        reference normalizes every relation lookup
+   *        (/root/reference/VEG/rltranse.py:93-98 l2_normalize(pos_r)) —
+   *        without it a frequently-hit relation's vector grows without
+   *        bound under full-batch hinge gradients.
+   */
   final case class Config(
       dim: Int = 16, epochs: Int = 10, lr: Double = 0.1,
       margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
-      transH: Boolean = false)
+      transH: Boolean = false,
+      tailRanges: Option[Array[(Long, Long)]] = None,
+      normalizeRel: Boolean = false)
 
   final case class Model(ent: Array[Array[Float]], rel: Array[Array[Float]],
                          wRel: Array[Array[Float]],
@@ -39,7 +56,19 @@ object TransE {
     h
   }
 
-  /** @param triples (h, t, r) with dense ids in [0, nEnt) / [0, nRel) */
+  /** Gradients ship as exact integer micro-units: long addition is
+    * associative+commutative, so the shuffle reduction is
+    * order-independent and training deterministic. */
+  private final val Micro = 1e6
+
+  /**
+   * @param triples (h, t, r, idx) with dense ids in [0, nEnt) /
+   *                [0, nRel); `idx` is any deterministic instance-unique
+   *                long used to seed that instance's negative samples
+   *                (duplicate (h,t,r) instances with different idx draw
+   *                DIFFERENT negatives, as the reference's per-instance
+   *                sampler does).
+   */
   def train(spark: SparkSession, triples: DataFrame, nEnt: Int, nRel: Int,
             cfg: Config = Config()): Model = {
     import spark.implicits._
@@ -57,7 +86,8 @@ object TransE {
     val wRel = init(nRel)
     wRel.foreach(Embed.l2normalize)
     val data = triples.select(col("h").cast("long"), col("t").cast("long"),
-      col("r").cast("long")).as[(Long, Long, Long)].persist()
+      col("r").cast("long"), col("idx").cast("long"))
+      .as[(Long, Long, Long, Long)].persist()
     data.count()
     val losses = new Array[Double](cfg.epochs)
 
@@ -69,9 +99,10 @@ object TransE {
       val margin = cfg.margin
       val negRate = cfg.negRate
       val transH = cfg.transH
+      val tailRanges = cfg.tailRanges
       val nEntL = nEnt.toLong
       val nRelL = nRel.toLong
-      // per-partition sparse gradients + loss
+      // per-partition sparse gradients + loss, emitted as micro-unit rows
       val grads = data.mapPartitions { it =>
         val (e, r, wv) = entB.value
         val acc = new java.util.HashMap[Long, Array[Float]]()
@@ -81,12 +112,17 @@ object TransE {
           if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
           v
         }
-        it.foreach { case (h, t, rl) =>
+        it.foreach { case (h, t, rl, idx) =>
           var j = 0
           while (j < negRate) {
-            val tNeg = (((mix(h * 31 + t, ep.toLong * negRate + j) % nEntL)
-              + nEntL) % nEntL)
-            if (tNeg != t) {
+            val draw = mix(idx, ep.toLong * negRate + j)
+            val tNeg = tailRanges match {
+              case Some(rs) =>
+                val (base, cnt) = rs(rl.toInt)
+                if (cnt <= 1L) -1L else base + (((draw % cnt) + cnt) % cnt)
+              case None => ((draw % nEntL) + nEntL) % nEntL
+            }
+            if (tNeg >= 0 && tNeg != t) {
               val eh = e(h.toInt); val et = e(t.toInt)
               val en = e(tNeg.toInt); val er = r(rl.toInt)
               if (!transH) {
@@ -162,31 +198,45 @@ object TransE {
           }
         }
         import scala.jdk.CollectionConverters._
-        Iterator.single((loss,
-          acc.entrySet().asScala.map(kv => (kv.getKey, kv.getValue)).toArray))
-      }.collect()
-      losses(epoch) = grads.map(_._1).sum
-      // apply summed gradients
-      val total = new java.util.HashMap[Long, Array[Float]]()
-      grads.foreach { case (_, part) =>
-        part.foreach { case (id, gv) =>
-          val cur = total.get(id)
-          if (cur == null) total.put(id, gv.clone())
-          else { var i = 0; while (i < cfg.dim) { cur(i) += gv(i); i += 1 } }
+        val lossRow = {
+          val a = new Array[Long](dim)
+          a(0) = math.rint(loss * Micro).toLong
+          (-1L, a)
         }
+        Iterator.single(lossRow) ++
+          acc.entrySet().asScala.iterator.map { kv =>
+            val f = kv.getValue
+            val a = new Array[Long](dim)
+            var i = 0
+            while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
+            (kv.getKey, a)
+          }
       }
-      total.forEach { (id, gv) =>
-        val target =
-          if (id < nEntL) ent(id.toInt)
-          else if (id < 2 * nEntL) ent((id - nEntL).toInt)
-          else if (id < 2 * nEntL + nRelL) rel((id - 2 * nEntL).toInt)
-          else wRel((id - 2 * nEntL - nRelL).toInt)
+      // ONE shuffle: exact element-wise long sums per entity id; only
+      // the reduced (model-sized) rows reach the driver.
+      val reduced = grads.groupByKey(_._1).reduceGroups { (a, b) =>
+        val s = new Array[Long](a._2.length)
         var i = 0
-        while (i < cfg.dim) {
-          target(i) = (target(i) - cfg.lr * gv(i)).toFloat; i += 1
+        while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1, s)
+      }.map(_._2).collect()
+
+      reduced.foreach { case (id, gv) =>
+        if (id == -1L) losses(epoch) = gv(0) / Micro
+        else {
+          val target =
+            if (id < nEntL) ent(id.toInt)
+            else if (id < 2 * nEntL) ent((id - nEntL).toInt)
+            else if (id < 2 * nEntL + nRelL) rel((id - 2 * nEntL).toInt)
+            else wRel((id - 2 * nEntL - nRelL).toInt)
+          var i = 0
+          while (i < cfg.dim) {
+            target(i) = (target(i) - cfg.lr * (gv(i) / Micro)).toFloat; i += 1
+          }
         }
       }
       ent.foreach(Embed.l2normalize)
+      if (cfg.normalizeRel) rel.foreach(Embed.l2normalize)
       if (cfg.transH) wRel.foreach(Embed.l2normalize)
       entB.destroy()
       epoch += 1
@@ -196,9 +246,11 @@ object TransE {
   }
 
   /**
-   * End-to-end TransE linkage eval over the ER graph: train, broadcast
-   * the entity matrix, cosine-score candidate pairs in mapPartitions
-   * (record node embeddings), sweep the threshold, report test F1/MRR.
+   * End-to-end TransE linkage eval over the ER graph: train, attach
+   * record entity ids by JOIN (the id map is data-sized — it never
+   * lands on the driver), broadcast the trained entity matrix,
+   * cosine-score candidate pairs in mapPartitions, sweep the threshold,
+   * report test F1/MRR.
    */
   def pairScores(spark: SparkSession, sfDir: String,
                  cfg: Config = Config()): DataFrame = {
@@ -206,23 +258,25 @@ object TransE {
     val ents = graft.graph.GraphBuild.erEntities(spark, sfDir)
     val nEnt = ents.count().toInt
     val triples = graft.graph.GraphBuild.erTriples(spark, sfDir)
-    val model = train(spark, triples, nEnt, graft.graph.GraphBuild.Relations.size, cfg)
-    // record label -> ent id map, broadcast with the trained matrix
-    val recIds = ents.filter(col("label").rlike("^r[0-9]+$"))
-      .select(substring(col("label"), 2, 20).cast("long").as("id"), col("ent_id"))
-      .as[(Long, Long)].collect().toMap
-    val recB = spark.sparkContext.broadcast(recIds)
+      .withColumn("idx", col("h") * 2654435761L + col("t"))
+    val model = train(spark, triples, nEnt,
+      graft.graph.GraphBuild.Relations.size, cfg)
+    // record label -> entity id resolved by join, not a driver map
+    val recEnt = ents.filter(col("label").rlike("^r[0-9]+$"))
+      .select(substring(col("label"), 2, 20).cast("long").as("rid"),
+        col("ent_id"))
     val entB = spark.sparkContext.broadcast(model.ent)
     graft.EntryStages.cand(spark, sfDir)
       .select(col("idA"), col("idB"),
         (col("dni_a") === col("dni_b")).cast("long").as("label"))
-      .as[(Long, Long, Long)]
+      .join(recEnt.select(col("rid").as("idA"), col("ent_id").as("entA")), "idA")
+      .join(recEnt.select(col("rid").as("idB"), col("ent_id").as("entB")), "idB")
+      .select(col("idA"), col("idB"), col("entA"), col("entB"), col("label"))
+      .as[(Long, Long, Long, Long, Long)]
       .mapPartitions { it =>
-        val rm = recB.value
         val e = entB.value
-        it.map { case (a, b, lbl) =>
-          val cos = Embed.cosine(e(rm(a).toInt), e(rm(b).toInt))
-          (a, b, cos, lbl)
+        it.map { case (a, b, ea, eb, lbl) =>
+          (a, b, Embed.cosine(e(ea.toInt), e(eb.toInt)), lbl)
         }
       }.toDF("idA", "idB", "cos", "label")
   }

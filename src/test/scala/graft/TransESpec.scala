@@ -1,8 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sim.TransE
+import graft.sim.{RLTransE, TransE}
 
 class TransESpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -12,6 +13,7 @@ class TransESpec extends AnyFunSuite {
     val ents = graph.GraphBuild.erEntities(spark, sf)
     val nEnt = ents.count().toInt
     val triples = graph.GraphBuild.erTriples(spark, sf)
+      .withColumn("idx", col("h") * 2654435761L + col("t"))
     val model = TransE.train(spark, triples, nEnt,
       graph.GraphBuild.Relations.size, TransE.Config(epochs = 6))
     // margin-ranking loss decreases
@@ -27,6 +29,7 @@ class TransESpec extends AnyFunSuite {
     val ents = graph.GraphBuild.erEntities(spark, sf)
     val nEnt = ents.count().toInt
     val triples = graph.GraphBuild.erTriples(spark, sf)
+      .withColumn("idx", col("h") * 2654435761L + col("t"))
     val model = TransE.train(spark, triples, nEnt,
       graph.GraphBuild.Relations.size, TransE.Config(epochs = 5, transH = true))
     assert(model.lossByEpoch.head > model.lossByEpoch.last,
@@ -42,5 +45,27 @@ class TransESpec extends AnyFunSuite {
     assert(row.getAs[Double]("f1") > 0.05)
     assert(row.getAs[Double]("recall") > 0.8)
     assert(row.getAs[Double]("mrr") > 0.1)
+  }
+
+  test("RLTransE learns the value evolution and reaches the top tier") {
+    val model = RLTransE.train(spark, sf, RLTransE.Config(epochs = 30))
+    // the st relation must have learned fin -> done as a translation:
+    // emb(fin) + rel_st is closer to emb(done) than to the other
+    // evolved values (live, wait)
+    val stRid = graph.GraphBuild.Relations.indexOf("st")
+    val fin = model.valueRow(stRid, "fin").get
+    val er = model.rel(stRid)
+    val shifted = fin.zip(er).map { case (a, b) => a + b }
+    def dTo(v: String) = sim.Embed.cosineDistance(
+      shifted, model.valueRow(stRid, v).get)
+    assert(dTo("done") < dTo("live"), s"${dTo("done")} !< ${dTo("live")}")
+    assert(dTo("done") < dTo("wait"), s"${dTo("done")} !< ${dTo("wait")}")
+
+    val row = RLTransE.eval(spark, sf, RLTransE.Config(epochs = 30)).head()
+    // reference RLTransE census tier: F1 0.95 (BASELINE.md §2)
+    assert(row.getAs[Double]("f1") >= 0.9, s"rltranse f1 ${row.get(3)}")
+    // true pairs' evolving field must score far below the miss value 1.0
+    assert(row.getAs[Long]("tp_st_dist_micros") < 500000L,
+      s"st evolution not learned: ${row.getAs[Long]("tp_st_dist_micros")}")
   }
 }
