@@ -63,6 +63,10 @@ object SparkEntry {
     "mutual_nn" -> ((s, d) => EntryStages.mutualNn(s, d)),
     "topk_fn" -> ((s, d) => EntryStages.topkFn(s, d)),
     "topk_fp" -> ((s, d) => EntryStages.topkFp(s, d)),
+    "topk_fn_readable" -> ((s, d) => sources.Exports.topkFnReadable(s, d)),
+    "topk_fp_readable" -> ((s, d) => sources.Exports.topkFpReadable(s, d)),
+    "rltranse_embeddings" -> ((s, d) =>
+      sources.Exports.rltranseEmbeddings(s, d)),
     // --- transitive closure (SURVEY §7.3; iterative, no SQL oracle) ---
     "cc_clusters" -> ((s, d) => {
       val t = EntryStages.thetaRobust(s, d)
@@ -91,6 +95,22 @@ object SparkEntry {
     "fs_ecm_metrics" -> ((s, d) => ml.Classifiers.ecmMetrics(s, d)),
     "fs_logreg_metrics" -> ((s, d) => ml.Classifiers.logRegMetrics(s, d)),
     "fs_kmeans_metrics" -> ((s, d) => ml.Classifiers.kmeansMetrics(s, d)),
+    // --- numeric/gauss comparator + embedding-difference logistic ---
+    "gauss_comparator" -> ((s, d) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 100)
+      e.select(col("vec_id"),
+        round(ml.EmbedLogistic.gaussSim(
+          element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double"),
+          scale = 0.5) * 1000000).cast("long").as("gauss_micros"))
+    }),
+    "embed_logistic_metrics" -> ((s, d) => ml.EmbedLogistic.eval(s, d)),
+    // --- VEER / WERL: learned per-column weights (SURVEY §2.7, §2.9) ---
+    "veer_weights" -> ((s, d) => ml.Weights.veerWeights(s, d)),
+    "veer_metrics" -> ((s, d) => ml.Weights.veerMetrics(s, d)),
+    "werl_weights" -> ((s, d) => ml.Weights.werlWeights(s, d)),
+    "werl_metrics" -> ((s, d) => ml.Weights.werlMetrics(s, d)),
     // --- Hungarian assignment + negative sampler (SURVEY §2.7, §2.9) ---
     "block_assignment" -> ((s, d) => ops.Assignment.blockAssignment(s, d)),
     "negative_samples" -> ((s, d) => sim.NegativeSampler.sample(s, d)),
@@ -102,6 +122,15 @@ object SparkEntry {
       sim.TransE.eval(s, d, sim.TransE.Config(transH = true))),
     // --- RLTransE: per-relation value embeddings over the VEG graph ---
     "rltranse_eval" -> ((s, d) => sim.RLTransE.eval(s, d)),
+    // --- KR-EAR: relational + attributional dual-encoder (EAR graph) ---
+    "krear_eval" -> ((s, d) => sim.KrEar.eval(s, d)),
+    // --- ERER dual-KG: prior pairs, joint same_as merge, MTransE/ETransE ---
+    "graph_erer_prior_pairs" -> ((s, d) => graph.GraphBuild.priorPairs(s, d)),
+    "graph_erer_joint_triples" -> ((s, d) =>
+      graph.GraphBuild.ererJointTriples(s, d)),
+    "mtranse_eval" -> ((s, d) => sim.MTransE.eval(s, d)),
+    "etranse_eval" -> ((s, d) =>
+      sim.MTransE.eval(s, d, sim.MTransE.Config(evolve = true))),
     // --- Structured Streaming (windowed agg over `events`) ---
     "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---
@@ -130,11 +159,15 @@ object SparkEntry {
     "graph_er_entities" -> OracleSql.graphErEntities,
     "graph_er_triples" -> OracleSql.graphErTriples,
     "graph_ear_triples" -> OracleSql.graphEarTriples,
+    "graph_erer_prior_pairs" -> OracleSql.graphErerPriorPairs,
+    "graph_erer_joint_triples" -> OracleSql.graphErerJointTriples,
     "graph_veg_triples" -> OracleSql.graphVegTriples,
     "graph_veg_train_triples" -> OracleSql.graphVegTrainTriples,
     "mutual_nn" -> OracleSql.mutualNn,
     "topk_fn" -> OracleSql.topkFn,
     "topk_fp" -> OracleSql.topkFp,
+    "topk_fn_readable" -> OracleSql.topkFnReadable,
+    "topk_fp_readable" -> OracleSql.topkFpReadable,
     "text_stats" -> oracle.OracleSqlOps.textStats,
     "lang_id" -> oracle.OracleSqlOps.langId,
     "token_count" -> oracle.OracleSqlOps.tokenCount,
@@ -145,6 +178,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
     "ann_topk" -> oracle.OracleSqlOps.annTopK,
+    "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta
   )

@@ -110,6 +110,69 @@ object Metrics {
   }
 
   /**
+   * Fused single-pass evaluation: pairwise confusion metrics at a fixed
+   * threshold AND the IR metrics (MRR/MAP/P@1), computed from ONE
+   * ranking window + ONE per-query aggregation + ONE global
+   * aggregation — the two-pass pairMetrics+irMetrics split costs a
+   * second full shuffle of the scored pairs for no reason.
+   */
+  def fullEval(scored: DataFrame, dist: Column, label: Column,
+               theta: Double): DataFrame = {
+    val w = Window.partitionBy("idA").orderBy(dist.asc, col("idB").asc)
+    val p = (dist <= theta).cast("int")
+    val l = label.cast("int")
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("lbl", label.cast("long"))
+      .withColumn("cum_rel", sum(col("lbl")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prec_micros",
+        when(col("lbl") === 1,
+          round(col("cum_rel") * 1000000.0 / col("rank")).cast("long"))
+          .otherwise(0L))
+      .withColumn("c_tp", when(p === 1 && l === 1, 1L).otherwise(0L))
+      .withColumn("c_fp", when(p === 1 && l === 0, 1L).otherwise(0L))
+      .withColumn("c_fn", when(p === 0 && l === 1, 1L).otherwise(0L))
+      .withColumn("c_tn", when(p === 0 && l === 0, 1L).otherwise(0L))
+    val perQuery = ranked.groupBy("idA").agg(
+      sum("c_tp").as("tp"), sum("c_fp").as("fp"),
+      sum("c_fn").as("fn"), sum("c_tn").as("tn"),
+      sum("lbl").as("n_rel"),
+      coalesce(min(when(col("lbl") === 1, col("rank"))), lit(0L))
+        .as("first_rel_rank"),
+      max(when(col("rank") === 1, col("lbl")).otherwise(0L)).as("hits_at_1"),
+      sum("prec_micros").as("sum_prec_micros"))
+    .withColumn("ap_micros",
+      when(col("n_rel") === 0, 0L)
+        .otherwise(floor(col("sum_prec_micros") / col("n_rel")).cast("long")))
+    .withColumn("rr_micros",
+      when(col("n_rel") === 0, 0L)
+        .otherwise(round(lit(1000000.0) / col("first_rel_rank")).cast("long")))
+    perQuery.agg(
+      sum("tp").as("tp"), sum("fp").as("fp"),
+      sum("fn").as("fn"), sum("tn").as("tn"),
+      sum((col("n_rel") > 0).cast("long")).as("n_queries"),
+      sum(when(col("n_rel") > 0, col("rr_micros")).otherwise(0L)).as("srr"),
+      sum(when(col("n_rel") > 0, col("ap_micros")).otherwise(0L)).as("sap"),
+      sum(when(col("n_rel") > 0, col("hits_at_1")).otherwise(0L)).as("sh1"))
+    .select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fp"))).as("precision"),
+      when(col("tp") + col("fn") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fn"))).as("recall"),
+      when(col("tp") === 0, 0.0)
+        .otherwise(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn")))
+        .as("f1"),
+      col("n_queries"),
+      when(col("n_queries") === 0, 0.0)
+        .otherwise(col("srr") / col("n_queries") / 1000000.0).as("mrr"),
+      when(col("n_queries") === 0, 0.0)
+        .otherwise(col("sap") / col("n_queries") / 1000000.0).as("map"),
+      when(col("n_queries") === 0, 0.0)
+        .otherwise((col("sh1") / col("n_queries")).cast("double")).as("p_at_1"))
+  }
+
+  /**
    * Global IR metrics over query entities that have >= 1 relevant
    * candidate (as the reference iterates only entities present in
    * true_pairs, /root/reference/common.py:282-294):

@@ -44,10 +44,13 @@ object GraphBuild {
     case other => col(other)
   }
 
-  /** Long attribute-value table (record_label, value_label, rel_id). */
-  private def rawTriples(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = EntryStages.keyed(spark, sfDir)
-      .select(Seq(col("id"), col("block_key")) ++
+  /** Long attribute-value table (record_label, value_label, rel_id);
+    * optionally restricted to one side (the ERER per-KG encoding). */
+  private def rawTriples(spark: SparkSession, sfDir: String,
+                         side: Option[String] = None): DataFrame = {
+    val all = EntryStages.keyed(spark, sfDir)
+    val filtered = side.fold(all)(s => all.filter(col("side") === s))
+    val k = filtered.select(Seq(col("id"), col("block_key")) ++
         Relations.filter(_ != "block").map(col): _*)
     val base = k.withColumn("rec", concat(lit("r"), col("id")))
     Relations.zipWithIndex.map { case (rel, rid) =>
@@ -107,6 +110,13 @@ object GraphBuild {
       .groupBy("val_a", "val_b", "r").agg(count(lit(1)).as("n"))
   }
 
+  /** VEG triples derived from an EXPLICIT link set (idA, idB) — the
+    * hook for SEEA's self-learning loop, which re-derives the graph
+    * from seed ∪ accepted links each round. */
+  def vegTriplesFor(spark: SparkSession, sfDir: String,
+                    links: DataFrame): DataFrame =
+    vegPairs(spark, sfDir, links)
+
   /**
    * VEG value-evolution triples: for each TRUE candidate pair and each
    * relation, link the A-side and B-side observed values.
@@ -127,4 +137,68 @@ object GraphBuild {
         .filter(col("dni_a") === col("dni_b") &&
           col("split_a") === "train" && col("split_b") === "train")
         .select("idA", "idB"))
+
+  // ------------------------- ERER (dual-KG) -------------------------
+
+  /** Per-side entity dictionary (disjoint KGs A and B,
+    * /root/reference/ERER/model.py:18-41). */
+  def ererEntities(spark: SparkSession, sfDir: String,
+                   side: String): DataFrame = {
+    val t = rawTriples(spark, sfDir, Some(side))
+    val labels = t.select(col("rec").as("label"))
+      .union(t.select(col("value").as("label"))).distinct()
+    labels.withColumn("ent_id",
+      (row_number().over(Window.orderBy("label")) - 1).cast("long"))
+  }
+
+  /** Per-side ER triples with the side's own dictionary. */
+  def ererTriples(spark: SparkSession, sfDir: String,
+                  side: String): DataFrame = {
+    val ents = ererEntities(spark, sfDir, side)
+    val t = rawTriples(spark, sfDir, Some(side))
+    t.join(ents.withColumnRenamed("label", "rec")
+        .withColumnRenamed("ent_id", "h"), "rec")
+      .join(ents.withColumnRenamed("label", "value")
+        .withColumnRenamed("ent_id", "t"), "value")
+      .select(col("h"), col("t"), col("rel_id").as("r"))
+  }
+
+  /**
+   * Prior alignment pairs: a deterministic 30% of the TRUE pairs
+   * (dni % 10 < 3), the reference's seed-alignment fraction
+   * (/root/reference/data/census.py:638-640). Because the train split
+   * is dni % 10 < 6, priors never leak val/test pairs.
+   */
+  def priorPairs(spark: SparkSession, sfDir: String): DataFrame =
+    EntryStages.cand(spark, sfDir)
+      .filter(col("dni_a") === col("dni_b") && col("dni_a") % 10 < 3)
+      .select("idA", "idB")
+
+  /**
+   * Joint-KG merge: both sides' ER triples in the SHARED dictionary
+   * (record labels are globally unique; value labels coincide) plus one
+   * `same_as` triple per prior pair, the ERER merge-back
+   * (/root/reference/ERER/model.py:177-237). The same_as relation gets
+   * rel id = |Relations|.
+   */
+  def ererJointTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val ents = erEntities(spark, sfDir)
+    val recIds = ents.filter(col("label").rlike("^r[0-9]+$"))
+      .select(substring(col("label"), 2, 20).cast("long").as("rid"),
+        col("ent_id"))
+    val sameAs = priorPairs(spark, sfDir)
+      .join(recIds.select(col("rid").as("idA"), col("ent_id").as("h")), "idA")
+      .join(recIds.select(col("rid").as("idB"), col("ent_id").as("t")), "idB")
+      .select(col("h"), col("t"), lit(Relations.size.toLong).as("r"))
+    erTriples(spark, sfDir).unionByName(sameAs)
+  }
+
+  /**
+   * Evolution pairs for ETransE: per prior pair and relation, the
+   * linked (value_A, value_B) nodes
+   * (/root/reference/ERER/etranse.py:78-98) — structurally the VEG
+   * derivation restricted to the prior pairs.
+   */
+  def evolutionPairs(spark: SparkSession, sfDir: String): DataFrame =
+    vegPairs(spark, sfDir, priorPairs(spark, sfDir))
 }

@@ -237,6 +237,25 @@ object OracleSql {
   private def relValSql(rel: String): String =
     if (rel == "block") "block_key" else rel
 
+  private def readableSql(pairFilter: String): String = q(s""", topp AS (
+      SELECT idA, idB, dist FROM scoredp
+      WHERE $pairFilter
+      ORDER BY dist ASC, idA, idB LIMIT 5)
+    SELECT f.idA, f.idB, f.dist,
+      ra.repo AS repo_a, ra.path AS path_a, ra."commit" AS commit_a,
+      ra.content AS content_a,
+      rb.repo AS repo_b, rb.path AS path_b, rb."commit" AS commit_b,
+      rb.content AS content_b
+    FROM topp f
+    JOIN records ra ON ra.id = f.idA
+    JOIN records rb ON rb.id = f.idB""")
+
+  val topkFnReadable: String =
+    readableSql("label = 1 AND dist > (SELECT theta FROM best)")
+
+  val topkFpReadable: String =
+    readableSql("label = 0 AND dist <= (SELECT theta FROM best)")
+
   private val rawtCte = ", rawt AS (\n" +
     graft.graph.GraphBuild.Relations.zipWithIndex.map { case (rel, rid) =>
       s"      SELECT 'r' || CAST(id AS VARCHAR) AS rec, " +
@@ -290,6 +309,22 @@ $vt
     SELECT val_a, val_b, r, CAST(COUNT(*) AS BIGINT) AS n
     FROM vt GROUP BY val_a, val_b, r"""
   }
+
+  val graphErerPriorPairs: String = q(
+    "SELECT idA, idB FROM cand WHERE dni_a = dni_b AND dni_a % 10 < 3")
+
+  val graphErerJointTriples: String = q(rawtCte + s"""
+    SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
+    FROM rawt
+    JOIN ents eh ON eh.label = rawt.rec
+    JOIN ents et ON et.label = rawt.value
+    UNION ALL
+    SELECT ra.ent_id, rb.ent_id,
+      CAST(${graft.graph.GraphBuild.Relations.size} AS BIGINT)
+    FROM (SELECT idA, idB FROM cand
+          WHERE dni_a = dni_b AND dni_a % 10 < 3) p
+    JOIN ents ra ON ra.label = 'r' || CAST(p.idA AS VARCHAR)
+    JOIN ents rb ON rb.label = 'r' || CAST(p.idB AS VARCHAR)""")
 
   val graphVegTriples: String = q(vegSql("dni_a = dni_b"))
 

@@ -167,6 +167,16 @@ FROM events GROUP BY 1, 2"""
   CAST(doc_id % 480 + 48 AS BIGINT) AS height
 FROM documents"""
 
+  /** recordlinkage-style gauss comparator over two embedding dims,
+    * micro-rounded (mirrors graft.ml.EmbedLogistic.gaussSim). */
+  val gaussComparator: String = """SELECT vec_id,
+  CAST(round(CASE WHEN abs(a - b) <= 0 THEN 1.0
+    ELSE power(2.0, -power(abs(a - b) / 0.5, 2.0)) END * 1000000) AS BIGINT)
+    AS gauss_micros
+FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS a,
+             CAST(embedding[2] AS DOUBLE) AS b
+      FROM embeddings WHERE vec_id < 100)"""
+
   val annTopK: String = """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (

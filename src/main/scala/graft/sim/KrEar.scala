@@ -1,0 +1,402 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphBuild
+
+/**
+ * KR-EAR: knowledge embedding with separate RELATIONAL and
+ * ATTRIBUTIONAL encoders (/root/reference/EAR/kr_ear.py:148-224):
+ *
+ * - relational triples (record -> shared entity) train with the plain
+ *   TransE margin loss `max(0, ||h+r-t||_1 - mean||h+r-t'||_1 + m)`;
+ * - attributional triples (record -> literal value) train with
+ *   `score = ||tanh(h_proj + a) - v||_1` hinged against corrupted
+ *   VALUES, where `h_proj = h - (h.n_a) n_a` projects the record onto
+ *   the attribute's hyperplane (kr_ear.py _attr_calc/_transfer,
+ *   :151-161), and the two losses run as ALTERNATING optimizers per
+ *   epoch (kr_ear.py train loop).
+ *
+ * Spark shape mirrors [[TransE.train]]: the model (entity + value +
+ * relation + attribute + projection matrices) broadcasts per epoch,
+ * each loss runs one mapPartitions pass emitting sparse gradients in
+ * exact integer micro-units, gradients reduce by row id in one shuffle
+ * (order-independent -> bit-deterministic), and only model-sized rows
+ * reach the driver. Entity/value rows re-normalize per epoch as the
+ * reference normalizes per lookup.
+ */
+object KrEar {
+
+  final case class Config(
+      dim: Int = 16, epochs: Int = 8, lr: Double = 0.1,
+      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L)
+
+  final case class Model(
+      ent: Array[Array[Float]], value: Array[Array[Float]],
+      rel: Array[Array[Float]], attr: Array[Array[Float]],
+      proj: Array[Array[Float]],
+      relLoss: Array[Double], attrLoss: Array[Double])
+
+  private def mix(a: Long, b: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ a
+    h = (h ^ (a >>> 32)) * 0x100000001b3L
+    h = (h ^ b) * 0x100000001b3L
+    h = (h ^ (b >>> 32)) * 0x100000001b3L
+    h
+  }
+
+  private final val Micro = 1e6
+
+  /**
+   * EAR id spaces from the ER dictionary: entities = records + targets
+   * of relational triples (block/repo nodes); values = attributional
+   * literals. Returns (entDict(label_ent_id -> kr id),
+   * valDict, relTriples(h,t,r'), attrTriples(h,v,a')) where r'/a' are
+   * densely re-indexed within their own family.
+   */
+  def prepare(spark: SparkSession, sfDir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ear = GraphBuild.earTriples(spark, sfDir).persist()
+    val rels = GraphBuild.Relations
+    val relIdx = GraphBuild.RelationalRels.map(r => rels.indexOf(r).toLong)
+      .zipWithIndex.toMap
+    val attrIdx = GraphBuild.AttributionalRels.map(r => rels.indexOf(r).toLong)
+      .zipWithIndex.toMap
+    val relT = ear.filter(col("is_attr") === 0)
+    val attrT = ear.filter(col("is_attr") === 1)
+    // entity ids: heads (records) + relational tails, densely packed
+    val entIds = relT.select(col("h").as("eid"))
+      .union(attrT.select(col("h").as("eid")))
+      .union(relT.select(col("t").as("eid"))).distinct()
+      .withColumn("kid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("eid")) - 1)
+        .cast("long"))
+    val valIds = attrT.select(col("t").as("eid")).distinct()
+      .withColumn("kid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("eid")) - 1)
+        .cast("long"))
+    def remapRel(df: DataFrame, idx: Map[Long, Int]): DataFrame = {
+      val m = typedLit(idx.map { case (k, v) => (k, v.toLong) })
+      df.withColumn("rk", element_at(m, col("r")))
+    }
+    val relOut = remapRel(relT, relIdx)
+      .join(entIds.select(col("eid").as("h"), col("kid").as("hk")), "h")
+      .join(entIds.select(col("eid").as("t"), col("kid").as("tk")), "t")
+      .select(col("hk").as("h"), col("tk").as("t"), col("rk").as("r"))
+    val attrOut = remapRel(attrT, attrIdx)
+      .join(entIds.select(col("eid").as("h"), col("kid").as("hk")), "h")
+      .join(valIds.select(col("eid").as("t"), col("kid").as("vk")), "t")
+      .select(col("hk").as("h"), col("vk").as("v"), col("rk").as("a"))
+    // materialize the remap joins once: the trainer re-reads these per
+    // persist and the dictionary windows are the expensive part
+    val relP = relOut.persist(); val attrP = attrOut.persist()
+    relP.count(); attrP.count()
+    ear.unpersist()
+    (entIds.persist(), valIds.persist(), relP, attrP)
+  }
+
+  def train(spark: SparkSession, relTriples: DataFrame,
+            attrTriples: DataFrame, nEnt: Int, nVal: Int,
+            cfg: Config = Config()): Model = {
+    import spark.implicits._
+    val nRel = GraphBuild.RelationalRels.size
+    val nAttr = GraphBuild.AttributionalRels.size
+    val rnd = new java.util.Random(cfg.seed)
+    val dim = cfg.dim
+    val bound = (6.0 / math.sqrt(dim)).toFloat
+    def init(n: Int) = Array.fill(n)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat * bound))
+    val ent = init(nEnt); ent.foreach(Embed.l2normalize)
+    val value = init(nVal); value.foreach(Embed.l2normalize)
+    val rel = init(nRel)
+    val attr = init(nAttr)
+    val proj = init(nAttr); proj.foreach(Embed.l2normalize)
+
+    // gradient row-id layout
+    val offVal = nEnt.toLong
+    val offRel = offVal + nVal
+    val offAttr = offRel + nRel
+    val offProj = offAttr + nAttr
+
+    // 8 partitions: gradient rows duplicate per partition (see
+    // TransE.train) — keep the shuffle model-sized, not 64x model-sized.
+    // localCheckpoint truncates the logical plan to a leaf: without it
+    // every epoch re-analyzes the full upstream lineage (windows,
+    // dictionary joins), which dominates the epoch wall time.
+    val relData = relTriples.select(col("h").cast("long"),
+      col("t").cast("long"), col("r").cast("long"))
+      .as[(Long, Long, Long)].repartition(8).localCheckpoint()
+    val attrData = attrTriples.select(col("h").cast("long"),
+      col("v").cast("long"), col("a").cast("long"))
+      .as[(Long, Long, Long)].repartition(8).localCheckpoint()
+
+    val relLoss = new Array[Double](cfg.epochs)
+    val attrLoss = new Array[Double](cfg.epochs)
+
+    def reduceApply(rows: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                    lossSink: Long => Unit): Unit = {
+      val reduced = rows.groupByKey(_._1).reduceGroups { (a, b) =>
+        val s = new Array[Long](a._2.length)
+        var i = 0
+        while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1, s)
+      }.map(_._2).collect()
+      reduced.foreach { case (id, gv) =>
+        if (id == -1L) lossSink(gv(0))
+        else {
+          val target =
+            if (id < offVal) ent(id.toInt)
+            else if (id < offRel) value((id - offVal).toInt)
+            else if (id < offAttr) rel((id - offRel).toInt)
+            else if (id < offProj) attr((id - offAttr).toInt)
+            else proj((id - offProj).toInt)
+          var i = 0
+          while (i < dim) {
+            target(i) = (target(i) - cfg.lr * (gv(i) / Micro)).toFloat
+            i += 1
+          }
+        }
+      }
+    }
+
+    var epoch = 0
+    while (epoch < cfg.epochs) {
+      val b = spark.sparkContext.broadcast((ent, value, rel, attr, proj))
+      val ep = epoch
+      val negRate = cfg.negRate
+      val margin = cfg.margin
+      val nEntL = nEnt.toLong
+      val nValL = nVal.toLong
+
+      // ---- relational encoder: plain TransE over entity space ----
+      val relRows = relData.mapPartitions { it =>
+        val (e, _, r, _, _) = b.value
+        val acc = new java.util.HashMap[Long, Array[Float]]()
+        var loss = 0.0
+        def g(id: Long): Array[Float] = {
+          var v = acc.get(id)
+          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          v
+        }
+        it.foreach { case (h, t, rl) =>
+          var j = 0
+          while (j < negRate) {
+            val tNeg = {
+              val d = mix(h * 31 + t, ep.toLong * negRate + j)
+              ((d % nEntL) + nEntL) % nEntL
+            }
+            if (tNeg != t) {
+              val eh = e(h.toInt); val et = e(t.toInt)
+              val en = e(tNeg.toInt); val er = r(rl.toInt)
+              var pos = 0.0; var neg = 0.0
+              var i = 0
+              while (i < dim) {
+                pos += math.abs(eh(i) + er(i) - et(i))
+                neg += math.abs(eh(i) + er(i) - en(i))
+                i += 1
+              }
+              val l = pos - neg + margin
+              if (l > 0) {
+                loss += l
+                val gh = g(h); val gt = g(t); val gn = g(tNeg)
+                val gr = g(offRel + rl)
+                i = 0
+                while (i < dim) {
+                  val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                  val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
+                  gh(i) += sp - sn; gr(i) += sp - sn
+                  gt(i) -= sp; gn(i) += sn
+                  i += 1
+                }
+              }
+            }
+            j += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val lossRow = {
+          val a = new Array[Long](dim)
+          a(0) = math.rint(loss * Micro).toLong
+          (-1L, a)
+        }
+        Iterator.single(lossRow) ++
+          acc.entrySet().asScala.iterator.map { kv =>
+            val f = kv.getValue
+            val a = new Array[Long](dim)
+            var i = 0
+            while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
+            (kv.getKey, a)
+          }
+      }
+      val tRel0 = System.nanoTime()
+      reduceApply(relRows, m => relLoss(ep) = m / Micro)
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[krear] ep$ep rel ${(System.nanoTime() - tRel0) / 1e9}%.1f s")
+      ent.foreach(Embed.l2normalize)
+
+      // ---- attributional encoder: |tanh(h_proj + a) - v| hinge ----
+      val b2 = spark.sparkContext.broadcast((ent, value, rel, attr, proj))
+      val attrRows = attrData.mapPartitions { it =>
+        val (e, vv, _, av, pj) = b2.value
+        val acc = new java.util.HashMap[Long, Array[Float]]()
+        var loss = 0.0
+        def g(id: Long): Array[Float] = {
+          var v = acc.get(id)
+          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          v
+        }
+        // score + gradient of ||tanh(hp + a) - v||_1 wrt (h, a, v, n)
+        def attrScore(h: Array[Float], n: Array[Float], a: Array[Float],
+                      v: Array[Float]): Double = {
+          var hn = 0.0
+          var i = 0
+          while (i < dim) { hn += h(i) * n(i); i += 1 }
+          var s = 0.0
+          i = 0
+          while (i < dim) {
+            val hp = h(i) - hn * n(i)
+            s += math.abs(math.tanh(hp + a(i)) - v(i))
+            i += 1
+          }
+          s
+        }
+        it.foreach { case (h, v, at) =>
+          var j = 0
+          while (j < negRate) {
+            val vNeg = {
+              val d = mix(h * 37 + v, (ep.toLong + 7919) * negRate + j)
+              ((d % nValL) + nValL) % nValL
+            }
+            if (vNeg != v) {
+              val eh = e(h.toInt); val ev = vv(v.toInt)
+              val en = vv(vNeg.toInt); val ea = av(at.toInt)
+              val nv = pj(at.toInt)
+              val pos = attrScore(eh, nv, ea, ev)
+              val neg = attrScore(eh, nv, ea, en)
+              val l = pos - neg + margin
+              if (l > 0) {
+                loss += l
+                val gh = g(h); val gv = g(offVal + v); val gn = g(offVal + vNeg)
+                val ga = g(offAttr + at); val gp = g(offProj + at)
+                var hn = 0.0
+                var i = 0
+                while (i < dim) { hn += eh(i) * nv(i); i += 1 }
+                // accumulate d(loss)/d(hp) to backprop through the
+                // hyperplane projection in a second pass
+                val gHp = new Array[Float](dim)
+                i = 0
+                while (i < dim) {
+                  val hp = eh(i) - hn * nv(i)
+                  val zP = math.tanh(hp + ea(i))
+                  val zN = zP // same h_proj + a for pos and neg value
+                  val sP = math.signum(zP - ev(i))
+                  val sN = math.signum(zN - en(i))
+                  val dzP = (1.0 - zP * zP) * sP
+                  val dzN = (1.0 - zN * zN) * sN
+                  val dHpA = (dzP - dzN).toFloat
+                  gHp(i) = dHpA
+                  ga(i) += dHpA
+                  gv(i) += (-sP).toFloat
+                  gn(i) += sN.toFloat
+                  i += 1
+                }
+                // h gradient through (I - n n^T); n gradient
+                var gn_dot = 0.0
+                i = 0
+                while (i < dim) { gn_dot += gHp(i) * nv(i); i += 1 }
+                i = 0
+                while (i < dim) {
+                  gh(i) += (gHp(i) - gn_dot * nv(i)).toFloat
+                  gp(i) += (-(gn_dot * eh(i) + hn * gHp(i))).toFloat
+                  i += 1
+                }
+              }
+            }
+            j += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val lossRow = {
+          val a = new Array[Long](dim)
+          a(0) = math.rint(loss * Micro).toLong
+          (-1L, a)
+        }
+        Iterator.single(lossRow) ++
+          acc.entrySet().asScala.iterator.map { kv =>
+            val f = kv.getValue
+            val a = new Array[Long](dim)
+            var i = 0
+            while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
+            (kv.getKey, a)
+          }
+      }
+      val tAttr0 = System.nanoTime()
+      reduceApply(attrRows, m => attrLoss(ep) = m / Micro)
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[krear] ep$ep attr ${(System.nanoTime() - tAttr0) / 1e9}%.1f s")
+      ent.foreach(Embed.l2normalize)
+      value.foreach(Embed.l2normalize)
+      proj.foreach(Embed.l2normalize)
+      val tD0 = System.nanoTime()
+      b.destroy(); b2.destroy()
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[krear] ep$ep destroy ${(System.nanoTime() - tD0) / 1e9}%.1f s")
+      epoch += 1
+    }
+    relData.unpersist(); attrData.unpersist()
+    Model(ent, value, rel, attr, proj, relLoss, attrLoss)
+  }
+
+  /** Cosine pair scores over trained RECORD embeddings (the EAR census
+    * eval shape, /root/reference/tests/ear/test_kr_ear.py). */
+  def pairScores(spark: SparkSession, sfDir: String,
+                 cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val (entIds, valIds, relT, attrT) = prepare(spark, sfDir)
+    val entP = entIds
+    val nEnt = entP.count().toInt
+    val nVal = valIds.count().toInt
+    val model = train(spark, relT, attrT, nEnt, nVal, cfg)
+    // record rows of the ER dictionary -> kr entity ids, by join
+    val recs = GraphBuild.erEntities(spark, sfDir)
+      .filter(col("label").rlike("^r[0-9]+$"))
+      .select(substring(col("label"), 2, 20).cast("long").as("rid"),
+        col("ent_id").as("eid"))
+      .join(entP, "eid")
+      .select(col("rid"), col("kid"))
+    val entB = spark.sparkContext.broadcast(model.ent)
+    val out = graft.EntryStages.cand(spark, sfDir)
+      .select(col("idA"), col("idB"),
+        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+      .join(recs.select(col("rid").as("idA"), col("kid").as("kA")), "idA")
+      .join(recs.select(col("rid").as("idB"), col("kid").as("kB")), "idB")
+      .select(col("idA"), col("idB"), col("kA"), col("kB"), col("label"))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val e = entB.value
+        it.map { case (a, bb, ka, kb, lbl) =>
+          (a, bb, Embed.cosine(e(ka.toInt), e(kb.toInt)), lbl)
+        }
+      }.toDF("idA", "idB", "cos", "label")
+    entP.unpersist()
+    out
+  }
+
+  /** Summary row: losses decreased + test F1/P/R/MRR at best theta. */
+  def eval(spark: SparkSession, sfDir: String,
+           cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val scores = pairScores(spark, sfDir, cfg).persist()
+    val dist = lit(1.0) - col("cos")
+    val theta = graft.pipe.Threshold.bestThetaRobust(scores, dist, col("label"))
+    val m = graft.eval.Metrics.pairMetrics(scores,
+      (dist <= theta).cast("int"), col("label")).head()
+    val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
+    scores.unpersist()
+    Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
+      m.getAs[Double]("f1"), m.getAs[Double]("precision"),
+      m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))
+      .toDF("dim", "epochs", "theta", "f1", "precision", "recall", "mrr")
+  }
+}

@@ -1,0 +1,397 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphBuild
+
+/**
+ * MTransE / ETransE — dual-KG alignment embedding
+ * (/root/reference/ERER/mtranse.py:140-227,
+ * /root/reference/ERER/etranse.py:60-110,300-340):
+ *
+ * - KG A and KG B each train a plain TransE margin loss over their OWN
+ *   entity/relation tables (disjoint dictionaries);
+ * - an ALIGNMENT model learns a dim x dim translation matrix M over
+ *   the prior pairs: hinge on ||M e_a - e_b||_1 against corrupted
+ *   partners (mtranse.py _calc_alignment);
+ * - ETransE adds per-relation EVOLUTION vectors v_r over the prior
+ *   pairs' linked value nodes: hinge on ||M a + v_r - b||_1
+ *   (etranse.py _calc_evolve), capturing how attribute values drift
+ *   between the two snapshots.
+ *
+ * The epoch alternates the optimizers exactly like the reference's
+ * train loop (A pass, B pass, alignment pass, evolution pass). Spark
+ * shape matches [[TransE.train]]: model broadcast per epoch, sparse
+ * gradients in integer micro-units, one groupByKey shuffle per pass,
+ * only model-sized rows on the driver.
+ */
+object MTransE {
+
+  final case class Config(
+      dim: Int = 16, epochs: Int = 8, lr: Double = 0.1,
+      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
+      evolve: Boolean = false)
+
+  final case class Model(
+      entA: Array[Array[Float]], entB: Array[Array[Float]],
+      relA: Array[Array[Float]], relB: Array[Array[Float]],
+      m: Array[Array[Float]], evolveVec: Array[Array[Float]],
+      lossByEpoch: Array[Double])
+
+  private def mix(a: Long, b: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ a
+    h = (h ^ (a >>> 32)) * 0x100000001b3L
+    h = (h ^ b) * 0x100000001b3L
+    h = (h ^ (b >>> 32)) * 0x100000001b3L
+    h
+  }
+
+  private final val Micro = 1e6
+
+  /** M v for a dim x dim row-major matrix. */
+  private def matVec(m: Array[Array[Float]], v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) {
+      val row = m(i)
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += row(j) * v(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * @param triplesA / triplesB per-side (h, t, r)
+   * @param aligned   (a, b, r) pairs for the alignment loss (record
+   *                  priors with r = -1) and, when cfg.evolve, the
+   *                  evolution value pairs with their relation id
+   */
+  def train(spark: SparkSession,
+            triplesA: DataFrame, triplesB: DataFrame, aligned: DataFrame,
+            nEntA: Int, nEntB: Int, nRel: Int,
+            cfg: Config = Config()): Model = {
+    import spark.implicits._
+    val rnd = new java.util.Random(cfg.seed)
+    val dim = cfg.dim
+    val bound = (6.0 / math.sqrt(dim)).toFloat
+    def init(n: Int) = Array.fill(n)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat * bound))
+    val entA = init(nEntA); entA.foreach(Embed.l2normalize)
+    val entB = init(nEntB); entB.foreach(Embed.l2normalize)
+    val relA = init(nRel)
+    val relB = init(nRel)
+    val m = init(dim) // dim x dim alignment matrix, one row per id
+    val evolveVec = init(nRel)
+
+    val offB = nEntA.toLong
+    val offRelA = offB + nEntB
+    val offRelB = offRelA + nRel
+    val offM = offRelB + nRel
+    val offEvo = offM + dim
+
+    // 8 partitions: gradient rows duplicate per partition (see
+    // TransE.train) — keep the shuffle model-sized, not 64x model-sized.
+    // localCheckpoint truncates lineage so epochs don't re-analyze the
+    // full upstream plan.
+    def ds(df: DataFrame): Dataset[(Long, Long, Long)] =
+      df.select(col(df.columns(0)).cast("long"), col(df.columns(1)).cast("long"),
+        col(df.columns(2)).cast("long")).as[(Long, Long, Long)]
+        .repartition(8).localCheckpoint()
+    val dataA = ds(triplesA); val dataB = ds(triplesB)
+    val dataAl = ds(aligned)
+
+    val losses = new Array[Double](cfg.epochs)
+
+    def reduceApply(rows: Dataset[(Long, Array[Long])]): Double = {
+      var loss = 0.0
+      val reduced = rows.groupByKey(_._1).reduceGroups { (x, y) =>
+        val s = new Array[Long](x._2.length)
+        var i = 0
+        while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
+        (x._1, s)
+      }.map(_._2).collect()
+      reduced.foreach { case (id, gv) =>
+        if (id == -1L) loss = gv(0) / Micro
+        else {
+          val target =
+            if (id < offB) entA(id.toInt)
+            else if (id < offRelA) entB((id - offB).toInt)
+            else if (id < offRelB) relA((id - offRelA).toInt)
+            else if (id < offM) relB((id - offRelB).toInt)
+            else if (id < offEvo) m((id - offM).toInt)
+            else evolveVec((id - offEvo).toInt)
+          var i = 0
+          while (i < dim) {
+            target(i) = (target(i) - cfg.lr * (gv(i) / Micro)).toFloat
+            i += 1
+          }
+        }
+      }
+      loss
+    }
+
+    def emit(acc: java.util.HashMap[Long, Array[Float]], loss: Double) = {
+      import scala.jdk.CollectionConverters._
+      val lossRow = {
+        val a = new Array[Long](dim)
+        a(0) = math.rint(loss * Micro).toLong
+        (-1L, a)
+      }
+      Iterator.single(lossRow) ++
+        acc.entrySet().asScala.iterator.map { kv =>
+          val f = kv.getValue
+          val a = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
+          (kv.getKey, a)
+        }
+    }
+
+    var epoch = 0
+    while (epoch < cfg.epochs) {
+      val ep = epoch
+      val negRate = cfg.negRate
+      val margin = cfg.margin
+      val evolve = cfg.evolve
+
+      // --- per-KG TransE pass (side = 0 for A, 1 for B) ---
+      def kgPass(data: Dataset[(Long, Long, Long)], side: Int): Double = {
+        val bb = spark.sparkContext.broadcast((entA, entB, relA, relB))
+        val nEntL = (if (side == 0) nEntA else nEntB).toLong
+        val entOff = if (side == 0) 0L else offB
+        val relOff = if (side == 0) offRelA else offRelB
+        val rows = data.mapPartitions { it =>
+          val (ea, eb, ra, rb) = bb.value
+          val e = if (side == 0) ea else eb
+          val r = if (side == 0) ra else rb
+          val acc = new java.util.HashMap[Long, Array[Float]]()
+          var loss = 0.0
+          def g(id: Long): Array[Float] = {
+            var v = acc.get(id)
+            if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+            v
+          }
+          it.foreach { case (h, t, rl) =>
+            var j = 0
+            while (j < negRate) {
+              val d = mix(h * 31 + t + side * 131, ep.toLong * negRate + j)
+              val tNeg = ((d % nEntL) + nEntL) % nEntL
+              if (tNeg != t) {
+                val eh = e(h.toInt); val et = e(t.toInt)
+                val en = e(tNeg.toInt); val er = r(rl.toInt)
+                var pos = 0.0; var neg = 0.0
+                var i = 0
+                while (i < dim) {
+                  pos += math.abs(eh(i) + er(i) - et(i))
+                  neg += math.abs(eh(i) + er(i) - en(i))
+                  i += 1
+                }
+                val l = pos - neg + margin
+                if (l > 0) {
+                  loss += l
+                  val gh = g(entOff + h); val gt = g(entOff + t)
+                  val gn = g(entOff + tNeg); val gr = g(relOff + rl)
+                  i = 0
+                  while (i < dim) {
+                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                    val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
+                    gh(i) += sp - sn; gr(i) += sp - sn
+                    gt(i) -= sp; gn(i) += sn
+                    i += 1
+                  }
+                }
+              }
+              j += 1
+            }
+          }
+          emit(acc, loss)
+        }
+        val l = reduceApply(rows)
+        bb.destroy()
+        l
+      }
+
+      val lossA = kgPass(dataA, 0)
+      val lossB = kgPass(dataB, 1)
+      entA.foreach(Embed.l2normalize)
+      entB.foreach(Embed.l2normalize)
+
+      // --- alignment (+ evolution) pass over (a, b, r) pairs ---
+      val bb = spark.sparkContext.broadcast((entA, entB, m, evolveVec))
+      val nEntBL = nEntB.toLong
+      val rows = dataAl.mapPartitions { it =>
+        val (ea, eb, mm, ev) = bb.value
+        val acc = new java.util.HashMap[Long, Array[Float]]()
+        var loss = 0.0
+        def g(id: Long): Array[Float] = {
+          var v = acc.get(id)
+          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          v
+        }
+        it.foreach { case (a, b, rl) =>
+          val va = ea(a.toInt)
+          val ma = matVec(mm, va)
+          val vec = if (rl >= 0 && evolve) ev(rl.toInt) else null
+          def score(bi: Long): Double = {
+            val vb = eb(bi.toInt)
+            var s = 0.0
+            var i = 0
+            while (i < dim) {
+              val z = ma(i) + (if (vec != null) vec(i) else 0.0f) - vb(i)
+              s += math.abs(z)
+              i += 1
+            }
+            s
+          }
+          var j = 0
+          var negSum = 0.0
+          val sigma = new Array[Float](dim) // sp - mean(sn)
+          val vb = eb(b.toInt)
+          var i = 0
+          while (i < dim) {
+            sigma(i) = math.signum(
+              ma(i) + (if (vec != null) vec(i) else 0.0f) - vb(i)).toFloat
+            i += 1
+          }
+          val negIds = new Array[Long](negRate)
+          var nNeg = 0
+          while (j < negRate) {
+            val d = mix(a * 53 + b, (ep.toLong + 104729) * negRate + j)
+            val bNeg = ((d % nEntBL) + nEntBL) % nEntBL
+            if (bNeg != b) { negIds(nNeg) = bNeg; nNeg += 1; negSum += score(bNeg) }
+            j += 1
+          }
+          if (nNeg > 0) {
+            val pos = score(b)
+            val negMean = negSum / nNeg
+            val l = pos - negMean + margin
+            if (l > 0) {
+              loss += l
+              val inv = 1.0f / nNeg
+              // effective sign vector: sigma_pos - mean_j sigma_negj
+              val eff = new Array[Float](dim)
+              i = 0
+              while (i < dim) { eff(i) = sigma(i); i += 1 }
+              j = 0
+              while (j < nNeg) {
+                val vn = eb(negIds(j).toInt)
+                val gn = g(offB + negIds(j))
+                i = 0
+                while (i < dim) {
+                  val sn = math.signum(
+                    ma(i) + (if (vec != null) vec(i) else 0.0f) - vn(i))
+                    .toFloat * inv
+                  eff(i) -= sn
+                  gn(i) += sn // corrupted partner pushed away
+                  i += 1
+                }
+                j += 1
+              }
+              val gb = g(offB + b)
+              val gaRow = g(a)
+              val gv = if (vec != null) g(offEvo + rl) else null
+              i = 0
+              while (i < dim) {
+                gb(i) -= sigma(i)
+                if (gv != null) gv(i) += eff(i)
+                // grad_a = M^T eff ; grad_M(row i) = eff_i * a
+                var s = 0.0
+                var k2 = 0
+                while (k2 < dim) { s += mm(k2)(i) * eff(k2); k2 += 1 }
+                gaRow(i) += s.toFloat
+                val gm = g(offM + i)
+                k2 = 0
+                while (k2 < dim) { gm(k2) += eff(i) * va(k2); k2 += 1 }
+                i += 1
+              }
+            }
+          }
+        }
+        emit(acc, loss)
+      }
+      val lossAl = reduceApply(rows)
+      bb.destroy()
+      entA.foreach(Embed.l2normalize)
+      entB.foreach(Embed.l2normalize)
+      losses(epoch) = lossA + lossB + lossAl
+      epoch += 1
+    }
+    dataA.unpersist(); dataB.unpersist(); dataAl.unpersist()
+    Model(entA, entB, relA, relB, m, evolveVec, losses)
+  }
+
+  /** Cosine pair scores of M e_a vs e_b over the candidate pairs. */
+  def pairScores(spark: SparkSession, sfDir: String,
+                 cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val entsA = GraphBuild.ererEntities(spark, sfDir, "A").persist()
+    val entsB = GraphBuild.ererEntities(spark, sfDir, "B").persist()
+    val nA = entsA.count().toInt
+    val nB = entsB.count().toInt
+    val triplesA = GraphBuild.ererTriples(spark, sfDir, "A")
+    val triplesB = GraphBuild.ererTriples(spark, sfDir, "B")
+    def recIds(ents: DataFrame) = ents
+      .filter(col("label").rlike("^r[0-9]+$"))
+      .select(substring(col("label"), 2, 20).cast("long").as("rid"),
+        col("ent_id"))
+    val recA = recIds(entsA); val recB = recIds(entsB)
+    val priors = GraphBuild.priorPairs(spark, sfDir)
+      .join(recA.select(col("rid").as("idA"), col("ent_id").as("a")), "idA")
+      .join(recB.select(col("rid").as("idB"), col("ent_id").as("b")), "idB")
+      .select(col("a"), col("b"), lit(-1L).as("r"))
+    // ETransE: add the evolution value pairs with their relation ids
+    val aligned = if (!cfg.evolve) priors else {
+      val prefixes = GraphBuild.Relations.zipWithIndex
+        .map { case (rel, rid) => (rid.toLong, s"$rel:") }
+        .toDF("r", "prefix")
+      val evo = GraphBuild.evolutionPairs(spark, sfDir)
+        .join(broadcast(prefixes), "r")
+        .join(entsA.select(col("label").as("lblA"), col("ent_id").as("a")),
+          concat(col("prefix"), col("val_a")) === col("lblA"))
+        .join(entsB.select(col("label").as("lblB"), col("ent_id").as("b")),
+          concat(col("prefix"), col("val_b")) === col("lblB"))
+        .select(col("a"), col("b"), col("r"))
+      priors.unionByName(evo)
+    }
+    val model = train(spark, triplesA, triplesB, aligned, nA, nB,
+      GraphBuild.Relations.size, cfg)
+    val mB = spark.sparkContext.broadcast((model.entA, model.entB, model.m))
+    val out = graft.EntryStages.cand(spark, sfDir)
+      .select(col("idA"), col("idB"),
+        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+      .join(recA.select(col("rid").as("idA"), col("ent_id").as("ka")), "idA")
+      .join(recB.select(col("rid").as("idB"), col("ent_id").as("kb")), "idB")
+      .select(col("idA"), col("idB"), col("ka"), col("kb"), col("label"))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val (ea, eb, mm) = mB.value
+        it.map { case (x, y, ka, kb, lbl) =>
+          (x, y, Embed.cosine(matVec(mm, ea(ka.toInt)), eb(kb.toInt)), lbl)
+        }
+      }.toDF("idA", "idB", "cos", "label")
+    entsA.unpersist(); entsB.unpersist()
+    out
+  }
+
+  /** Summary row (shared by mtranse_eval / etranse_eval). */
+  def eval(spark: SparkSession, sfDir: String,
+           cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val scores = pairScores(spark, sfDir, cfg).persist()
+    val dist = lit(1.0) - col("cos")
+    val theta = graft.pipe.Threshold.bestThetaRobust(scores, dist, col("label"))
+    val m = graft.eval.Metrics.pairMetrics(scores,
+      (dist <= theta).cast("int"), col("label")).head()
+    val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
+    scores.unpersist()
+    Seq((cfg.dim.toLong, cfg.epochs.toLong, if (cfg.evolve) 1L else 0L, theta,
+      m.getAs[Double]("f1"), m.getAs[Double]("precision"),
+      m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))
+      .toDF("dim", "epochs", "evolve", "theta", "f1", "precision", "recall",
+        "mrr")
+  }
+}

@@ -62,9 +62,14 @@ object RLTransE {
   }
 
   def train(spark: SparkSession, sfDir: String,
-            cfg: Config = Config()): Model = {
+            cfg: Config = Config()): Model =
+    trainOn(spark, GraphBuild.vegTrainTriples(spark, sfDir), cfg)
+
+  /** Train over an explicit VEG triple set (val_a, val_b, r, n). */
+  def trainOn(spark: SparkSession, veg: DataFrame,
+              cfg: Config = Config()): Model = {
     val nRel = GraphBuild.Relations.size
-    val vegTrain = GraphBuild.vegTrainTriples(spark, sfDir).persist()
+    val vegTrain = veg.persist()
     val vocabDf = vocabulary(vegTrain).persist()
     // the dictionary IS the model's row index: model-sized by
     // construction, so collecting it costs what broadcasting the
@@ -210,42 +215,44 @@ object RLTransE {
   }
 
   /**
-   * Per-field translated-cosine scores for the TEST candidate pairs:
-   * (idA, idB, label, dist, st_dist). `st_dist` isolates the evolving
-   * field — the direct evidence that the trainer learned the
-   * fin->done / open->live / pend->wait value translations.
+   * Per-field translated-cosine distances for candidate pairs:
+   * (idA, idB, label, f_<rel>...) — one column per scored field. The
+   * building block for [[pairScores]] and for WERL's learned
+   * per-column weights.
    */
-  def pairScores(spark: SparkSession, sfDir: String,
-                 model: Model): DataFrame = {
+  def fieldScores(spark: SparkSession, sfDir: String, model: Model,
+                  testOnly: Boolean = true): DataFrame = {
     import spark.implicits._
     val keyed = graft.EntryStages.keyed(spark, sfDir)
     def sideFields(idCol: String, prefix: String) =
       keyed.select(Seq(col("id").as(idCol)) ++
         ScoredRels.map(r => col(r).as(s"$prefix$r")): _*)
-    val cand = graft.EntryStages.cand(spark, sfDir)
-      .filter(col("split_a") === "test" && col("split_b") === "test")
+    val base = graft.EntryStages.cand(spark, sfDir)
+    val filtered = if (testOnly)
+      base.filter(col("split_a") === "test" && col("split_b") === "test")
+    else base
+    val cand = filtered
       .select(col("idA"), col("idB"),
-        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+        (col("dni_a") === col("dni_b")).cast("long").as("label"),
+        col("split_a"), col("split_b"))
       .join(sideFields("idA", "a_"), "idA")
       .join(sideFields("idB", "b_"), "idB")
     val relIds = ScoredRels.map(GraphBuild.Relations.indexOf).toArray
-    val stPos = ScoredRels.indexOf("st")
     val bcast = spark.sparkContext.broadcast(
       (model.ent, model.rel, model.vocab, model.maxValCount))
-    val cols = Seq(col("idA"), col("idB"), col("label")) ++
+    val cols = Seq(col("idA"), col("idB"), col("label"),
+      col("split_a"), col("split_b")) ++
       ScoredRels.flatMap(r => Seq(col(s"a_$r"), col(s"b_$r")))
+    val nMeta = 5
     cand.select(cols: _*).map { row =>
       val (ent, rel, vocab, maxVal) = bcast.value
-      val idA = row.getLong(0); val idB = row.getLong(1)
-      val label = row.getLong(2)
-      var dist = 0.0
-      var stDist = 0.0
+      val dds = new Array[Double](relIds.length)
       var f = 0
       while (f < relIds.length) {
-        val va = row.getString(3 + 2 * f)
-        val vb = row.getString(4 + 2 * f)
+        val va = row.getString(nMeta + 2 * f)
+        val vb = row.getString(nMeta + 2 * f + 1)
         val rid = relIds(f)
-        val dd =
+        dds(f) =
           if (va == vb) 0.0
           else {
             val ia = vocab(rid).get(va)
@@ -261,12 +268,31 @@ object RLTransE {
               Embed.cosineDistance(shifted, eb)
             }
           }
-        if (f == stPos) stDist = dd
-        dist += dd
         f += 1
       }
-      (idA, idB, label, dist, stDist)
-    }.toDF("idA", "idB", "label", "dist", "st_dist")
+      (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getString(3), row.getString(4), dds)
+    }.toDF("idA", "idB", "label", "split_a", "split_b", "dds")
+      .select(Seq(col("idA"), col("idB"), col("label"),
+        col("split_a"), col("split_b")) ++
+        ScoredRels.zipWithIndex.map { case (r, i) =>
+          element_at(col("dds"), i + 1).as(s"f_$r")
+        }: _*)
+  }
+
+  /**
+   * Per-field translated-cosine scores for the TEST candidate pairs:
+   * (idA, idB, label, dist, st_dist). `st_dist` isolates the evolving
+   * field — the direct evidence that the trainer learned the
+   * fin->done / open->live / pend->wait value translations.
+   */
+  def pairScores(spark: SparkSession, sfDir: String,
+                 model: Model): DataFrame = {
+    val fieldCols = ScoredRels.map(r => col(s"f_$r"))
+    fieldScores(spark, sfDir, model)
+      .withColumn("dist", fieldCols.reduce(_ + _))
+      .select(col("idA"), col("idB"), col("label"), col("dist"),
+        col("f_st").as("st_dist"))
   }
 
   /** Summary row: config, threshold, test F1/P/R, MRR, and the mean

@@ -85,10 +85,16 @@ object TransE {
     // /root/reference/ER/transh.py:114-122)
     val wRel = init(nRel)
     wRel.foreach(Embed.l2normalize)
+    // Few wide partitions: each partition emits one dense gradient row
+    // per entity it touches, so gradient-shuffle volume scales with
+    // (partitions x touched entities) — 8 partitions keeps the epoch
+    // CPU parallel while bounding duplicate gradient rows.
+    // localCheckpoint truncates the logical plan: otherwise every epoch
+    // re-analyzes the full upstream lineage (dictionary windows/joins),
+    // which dominates the epoch wall time.
     val data = triples.select(col("h").cast("long"), col("t").cast("long"),
       col("r").cast("long"), col("idx").cast("long"))
-      .as[(Long, Long, Long, Long)].persist()
-    data.count()
+      .as[(Long, Long, Long, Long)].repartition(8).localCheckpoint()
     val losses = new Array[Double](cfg.epochs)
 
     var epoch = 0

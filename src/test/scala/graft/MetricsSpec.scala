@@ -54,4 +54,19 @@ class MetricsSpec extends AnyFunSuite {
     assert(m.getAs[Double]("f1") == 2.0 / (2 + 2 + 1))
     assert(m.getAs[Double]("accuracy") == 0.4)
   }
+
+  test("fullEval fuses pairMetrics + irMetrics exactly") {
+    val theta = 0.4
+    val pm = Metrics.pairMetrics(fixture,
+      (col("dist") <= theta).cast("int"), col("label")).head()
+    val ir = Metrics.irMetrics(fixture, col("dist"), col("label")).head()
+    val f = Metrics.fullEval(fixture, col("dist"), col("label"), theta).head()
+    for (c <- Seq("tp", "fp", "fn", "tn"))
+      assert(f.getAs[Long](c) == pm.getAs[Long](c), c)
+    for (c <- Seq("precision", "recall", "f1"))
+      assert(f.getAs[Double](c) == pm.getAs[Double](c), c)
+    assert(f.getAs[Long]("n_queries") == ir.getAs[Long]("n_queries"))
+    for (c <- Seq("mrr", "map", "p_at_1"))
+      assert(f.getAs[Double](c) == ir.getAs[Double](c), c)
+  }
 }
