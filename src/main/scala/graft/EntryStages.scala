@@ -23,8 +23,13 @@ object EntryStages {
   // Keyed on (identity, applicationId): a recycled identity hash of a
   // GC'd session always belongs to a NEW SparkContext (fresh app id),
   // so a collision can never serve DataFrames bound to a dead context.
-  private def sessionKey(spark: SparkSession): String =
+  private[graft] def sessionKey(spark: SparkSession): String =
     s"${System.identityHashCode(spark)}:${spark.sparkContext.applicationId}"
+
+  /** Shared memoization hook for other stage builders (GraphBuild). */
+  private[graft] def memo(spark: SparkSession, sfDir: String, name: String)
+                         (f: => DataFrame): DataFrame =
+    cached(spark, sfDir, name)(f)
 
   private val dfCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()

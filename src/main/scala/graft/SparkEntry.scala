@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),
     "dedup_embed_cosine" -> ((s, d) => ops.Dedup.embedCosine(s, d)),
+    "dedup_embed_lsh" -> ((s, d) => ops.Dedup.embedLshPairs(s, d)),
     // --- training-data pipeline: similarity search over `embeddings` ---
     "ann_topk" -> ((s, d) => ops.Ann.bruteTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => ops.Ann.lshTopK(s, d)),

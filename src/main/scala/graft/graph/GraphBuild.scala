@@ -60,25 +60,29 @@ object GraphBuild {
     }.reduce(_ unionByName _)
   }
 
-  /** Entity dictionary: dense ids by sorted label (deterministic). */
-  def erEntities(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = rawTriples(spark, sfDir)
-    val labels = t.select(col("rec").as("label"))
-      .union(t.select(col("value").as("label"))).distinct()
-    labels.withColumn("ent_id",
-      (row_number().over(Window.orderBy("label")) - 1).cast("long"))
-  }
+  /** Entity dictionary: dense ids by sorted label (deterministic).
+    * Memoized per (session, sfDir): half a dozen queries and every
+    * trainer re-derive it otherwise. */
+  def erEntities(spark: SparkSession, sfDir: String): DataFrame =
+    EntryStages.memo(spark, sfDir, "erEntities") {
+      val t = rawTriples(spark, sfDir)
+      val labels = t.select(col("rec").as("label"))
+        .union(t.select(col("value").as("label"))).distinct()
+      labels.withColumn("ent_id",
+        (row_number().over(Window.orderBy("label")) - 1).cast("long"))
+    }
 
   /** ER triples (h, t, r) with dictionary-encoded entity ids. */
-  def erTriples(spark: SparkSession, sfDir: String): DataFrame = {
-    val ents = erEntities(spark, sfDir)
-    val t = rawTriples(spark, sfDir)
-    t.join(ents.withColumnRenamed("label", "rec")
-        .withColumnRenamed("ent_id", "h"), "rec")
-      .join(ents.withColumnRenamed("label", "value")
-        .withColumnRenamed("ent_id", "t"), "value")
-      .select(col("h"), col("t"), col("rel_id").as("r"))
-  }
+  def erTriples(spark: SparkSession, sfDir: String): DataFrame =
+    EntryStages.memo(spark, sfDir, "erTriples") {
+      val ents = erEntities(spark, sfDir)
+      val t = rawTriples(spark, sfDir)
+      t.join(ents.withColumnRenamed("label", "rec")
+          .withColumnRenamed("ent_id", "h"), "rec")
+        .join(ents.withColumnRenamed("label", "value")
+          .withColumnRenamed("ent_id", "t"), "value")
+        .select(col("h"), col("t"), col("rel_id").as("r"))
+    }
 
   /**
    * EAR triples: the ER triples plus `is_attr` marking attributional

@@ -69,4 +69,19 @@ class MetricsSpec extends AnyFunSuite {
     for (c <- Seq("mrr", "map", "p_at_1"))
       assert(f.getAs[Double](c) == ir.getAs[Double](c), c)
   }
+
+  test("grid search sweeps every combination and ranks by F1") {
+    val sf = SparkTestSession.sf0001
+    val combos = graft.eval.GridSearch.grid(
+      "dim" -> Seq(8.0, 16.0), "epochs" -> Seq(20.0))
+    assert(combos.size == 2)
+    val out = graft.eval.GridSearch.sweep(spark, combos, { p =>
+      graft.sim.RLTransE.eval(spark, sf, graft.sim.RLTransE.Config(
+        dim = p("dim").toInt, epochs = p("epochs").toInt))
+        .select("f1")
+    }).collect()
+    assert(out.length == 2)
+    // sorted by descending f1
+    assert(out(0).getAs[Double]("f1") >= out(1).getAs[Double]("f1"))
+  }
 }
