@@ -39,6 +39,9 @@ object SparkEntry {
     "threshold_sweep" -> ((s, d) => EntryStages.sweep(s, d)),
     "threshold_best" -> ((s, d) => EntryStages.bestRow(s, d)),
     "match_edges" -> ((s, d) => EntryStages.matchEdges(s, d)),
+    // the injected `LINK ... ` SQL statement (SURVEY §7.6): same result
+    // as match_edges, produced through spark.sql
+    "sql_link" -> ((s, d) => s.sql(s"LINK RECORDS FROM '$d'")),
     // --- evaluation (SURVEY §2.4, §2.5) ---
     "pair_metrics" -> ((s, d) => EntryStages.pairMetricsAtTheta(s, d)),
     "ir_query_facts" -> ((s, d) =>
@@ -153,6 +156,7 @@ object SparkEntry {
     "threshold_sweep" -> OracleSql.thresholdSweep,
     "threshold_best" -> OracleSql.thresholdBest,
     "match_edges" -> OracleSql.matchEdges,
+    "sql_link" -> OracleSql.matchEdges,
     "pair_metrics" -> OracleSql.pairMetrics,
     "ir_query_facts" -> OracleSql.irQueryFacts,
     "ir_metrics" -> OracleSql.irMetrics,

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // single-file local tables: split scans so stages parallelize
       .config("spark.sql.files.maxPartitionBytes", s"${512 * 1024}")
       .config("spark.sql.files.openCostInBytes", "65536")
