@@ -27,6 +27,10 @@ object SparkEntry {
     "blocking_pairs" -> ((s, d) =>
       EntryStages.cand(s, d).select("idA", "idB", "block_key")),
     "blocking_stats" -> ((s, d) => EntryStages.blockingStats(s, d)),
+    // full-index (cartesian) mode over a bounded slice — the CORA path
+    "full_index_pairs" -> ((s, d) =>
+      Blocking.fullIndex(EntryStages.keyed(s, d).filter(col("dni") % 211 === 0))
+        .select("idA", "idB")),
     "truth_pairs" -> ((s, d) =>
       EntryStages.cand(s, d).filter(col("dni_a") === col("dni_b"))
         .select("idA", "idB")),
@@ -151,6 +155,7 @@ object SparkEntry {
     "blocking_keys" -> OracleSql.blockingKeys,
     "blocking_pairs" -> OracleSql.blockingPairs,
     "blocking_stats" -> OracleSql.blockingStats,
+    "full_index_pairs" -> OracleSql.fullIndexPairs,
     "truth_pairs" -> OracleSql.truthPairs,
     "pair_features" -> OracleSql.pairFeatures,
     "threshold_sweep" -> OracleSql.thresholdSweep,
@@ -182,9 +187,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> oracle.OracleSqlOps.ngramJaccard,
     "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
+    "dedup_embed_lsh" -> oracle.OracleSqlOps.dedupEmbedLsh,
     "ann_topk" -> oracle.OracleSqlOps.annTopK,
     "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
-    "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta
+    "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,
+    "mm_decode_features" -> oracle.OracleSqlOps.mmDecodeFeatures
   )
 }

@@ -20,26 +20,33 @@ object GridSearch {
         for (m <- acc; v <- values) yield m + (name -> v)
     }
 
+  /** Quality columns carried per combo when the eval row provides them
+    * (the reference logs per-combo IR metrics alongside F1,
+    * /root/reference/common.py:300-308); absent columns come back NaN. */
+  final val MetricCols: Seq[String] =
+    Seq("f1", "precision", "recall", "mrr")
+
   /**
    * Run `evalFn` per combination; each must return a one-row DataFrame
-   * containing an `f1` column. Returns (param columns ++ f1) rows
+   * containing an `f1` column (precision/recall/mrr are carried too
+   * when present). Returns (param columns ++ metric columns) rows
    * sorted by descending f1.
    */
   def sweep(spark: SparkSession, combos: Seq[Map[String, Double]],
             evalFn: Map[String, Double] => DataFrame): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     require(combos.nonEmpty)
     val paramNames = combos.head.keys.toSeq.sorted
     val rows = combos.map { params =>
       val r = evalFn(params).head()
-      (paramNames.map(params), r.getAs[Double]("f1"))
+      val has = r.schema.fieldNames.toSet
+      Row.fromSeq(paramNames.map(params) ++
+        MetricCols.map(c => if (has(c)) r.getAs[Double](c) else Double.NaN))
     }
-    rows.map { case (ps, f1) => (ps.mkString(","), f1) }
-      .toDF("params", "f1")
-      .selectExpr(
-        paramNames.zipWithIndex.map { case (n, i) =>
-          s"CAST(split(params, ',')[$i] AS DOUBLE) AS $n"
-        } :+ "f1": _*)
+    val schema = StructType(
+      (paramNames ++ MetricCols).map(n => StructField(n, DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .orderBy(org.apache.spark.sql.functions.desc("f1"))
   }
 }

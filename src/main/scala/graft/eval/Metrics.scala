@@ -85,8 +85,13 @@ object Metrics {
    * relevant candidate (/root/reference/common.py:300-308), in exact
    * micro-units: one row per k.
    */
+  /** P@k grid matching the reference's logged ks
+    * (/root/reference/common.py:300-308 logs P@1/3/5/10). Single
+    * source of truth for [[pAtK]] and the DuckDB oracle. */
+  final val DefaultKs: Seq[Int] = Seq(1, 3, 5, 10)
+
   def pAtK(scored: DataFrame, dist: Column, label: Column,
-           ks: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+           ks: Seq[Int] = DefaultKs): DataFrame = {
     val w = Window.partitionBy("idA").orderBy(dist.asc, col("idB").asc)
     val ranked = scored
       .withColumn("rank", row_number().over(w).cast("long"))

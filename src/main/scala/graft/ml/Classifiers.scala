@@ -122,12 +122,10 @@ object Classifiers {
     Metrics.pairMetrics(EntryStages.testPairs(feats), predicted, col("label"))
   }
 
-  private def withVec(features: DataFrame): DataFrame = {
-    val toVec = udf((f0: Int, f1: Int, f2: Int, f3: Int, f4: Int) =>
-      Vectors.dense(f0, f1, f2, f3, f4))
+  private def withVec(features: DataFrame): DataFrame =
     features.withColumn("features",
-      toVec(col("f0"), col("f1"), col("f2"), col("f3"), col("f4")))
-  }
+      org.apache.spark.ml.functions.array_to_vector(array(
+        (0 to 4).map(i => col(s"f$i").cast("double")): _*)))
 
   /** Supervised logistic regression (MLlib): train split -> test F1. */
   def logRegMetrics(spark: SparkSession, sfDir: String): DataFrame = {

@@ -45,8 +45,10 @@ object EmbedLogistic {
     import spark.implicits._
     val ents = GraphBuild.erEntities(spark, sfDir)
     val nEnt = ents.count().toInt
+    // instance seed mixes h, t AND r (h/t-only collided across
+    // relations sharing endpoints — see TransE.pairScores)
     val triples = GraphBuild.ererJointTriples(spark, sfDir)
-      .withColumn("idx", col("h") * 2654435761L + col("t"))
+      .withColumn("idx", xxhash64(col("h"), col("t"), col("r")))
     val model = TransE.train(spark, triples, nEnt,
       GraphBuild.Relations.size + 1, // + same_as
       TransE.Config(dim = cfg.dim, epochs = cfg.epochs, transH = true))
@@ -83,9 +85,9 @@ object EmbedLogistic {
   /** Summary: test-split pair metrics of the logistic classifier. */
   def eval(spark: SparkSession, sfDir: String,
            cfg: Config = Config()): DataFrame = {
-    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
     val feats = pairFeatures(spark, sfDir, cfg)
-      .withColumn("features", toVec(col("feat")))
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("feat")))
       .withColumn("label_d", col("label").cast("double"))
       .persist()
     val lr = new LogisticRegression()

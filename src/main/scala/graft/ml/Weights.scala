@@ -35,11 +35,11 @@ object Weights {
     Scorer.scoreDF(EntryStages.cand(spark, sfDir),
       Scorer.broadcastProjection(spark))
 
-  private def withVec(df: DataFrame, feats: Seq[String]): DataFrame = {
-    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
-    df.withColumn("features", toVec(array(feats.map(col): _*)))
+  private def withVec(df: DataFrame, feats: Seq[String]): DataFrame =
+    df.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(
+        array(feats.map(f => col(f).cast("double")): _*)))
       .withColumn("label_d", col("label").cast("double"))
-  }
 
   private def fitLr(train: DataFrame) =
     new LogisticRegression()
@@ -84,24 +84,32 @@ object Weights {
 
   final val WerlFeatures: Seq[String] = RLTransE.ScoredRels.map(r => s"f_$r")
 
-  /** WERL: weights over FROZEN RLTransE per-field distances. */
+  /** WERL: weights over FROZEN RLTransE per-field distances. Memoized
+    * per (session, sfDir): round 2's harness retrained the full
+    * RLTransE + logistic stack once per registered query (werl_weights
+    * AND werl_metrics); one fit now serves both, and the metrics row is
+    * materialized into a local DataFrame so later actions on it can't
+    * re-trigger the scoring lineage. */
   def werlWeightsAndMetrics(spark: SparkSession, sfDir: String):
-      (DataFrame, DataFrame) = {
-    val model = RLTransE.train(spark, sfDir)
-    val fields = RLTransE.fieldScores(spark, sfDir, model, testOnly = false)
-      .persist()
-    val train = withVec(fields.filter(col("split_a") === "train" &&
-      col("split_b") === "train"), WerlFeatures)
-    val m = fitLr(train)
-    val test = m.transform(withVec(fields.filter(col("split_a") === "test" &&
-      col("split_b") === "test"), WerlFeatures))
-    val metrics = Metrics.pairMetrics(test,
-      (col("prediction") === 1.0).cast("int"), col("label"))
-    metrics.collect()
-    fields.unpersist()
-    (weightRows(spark, WerlFeatures, m.coefficients.toArray, m.intercept),
-      metrics)
-  }
+      (DataFrame, DataFrame) =
+    graft.EntryStages.memoModel(spark, sfDir, "werl") {
+      val model = RLTransE.train(spark, sfDir)
+      val fields = RLTransE.fieldScores(spark, sfDir, model, testOnly = false)
+        .persist()
+      val train = withVec(fields.filter(col("split_a") === "train" &&
+        col("split_b") === "train"), WerlFeatures)
+      val m = fitLr(train)
+      val test = m.transform(withVec(fields.filter(col("split_a") === "test" &&
+        col("split_b") === "test"), WerlFeatures))
+      val metrics = Metrics.pairMetrics(test,
+        (col("prediction") === 1.0).cast("int"), col("label"))
+      val rows = metrics.collect()
+      fields.unpersist()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), metrics.schema)
+      (weightRows(spark, WerlFeatures, m.coefficients.toArray, m.intercept),
+        local)
+    }
 
   def werlWeights(spark: SparkSession, sfDir: String): DataFrame =
     werlWeightsAndMetrics(spark, sfDir)._1

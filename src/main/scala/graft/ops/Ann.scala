@@ -60,9 +60,23 @@ object Ann {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  final val LshBits = 12
+  final val LshTables = 16
+  final val TargetBucket = 32
 
-  /** Sign-bit signature of v under `planes` (LshBits x dim). */
+  /**
+   * Signature width sized to the corpus: ~n/targetBucket buckets per
+   * table, so buckets stay O(targetBucket) as n grows (sub-linear
+   * per-query candidate cost) while few enough bits that true
+   * neighbors still collide. Round 2 shipped a fixed 12 bits — 4,096
+   * buckets for a 500-vector corpus made nearly every bucket a
+   * singleton (~9% recall); width must follow the data.
+   */
+  private[graft] def lshBits(n: Long, targetBucket: Int = TargetBucket): Int =
+    math.max(3, math.ceil(
+      math.log(math.max(n, 2L * targetBucket).toDouble / targetBucket) /
+        math.log(2.0)).toInt)
+
+  /** Sign-bit signature of v under `planes` (bits x dim). */
   def signature(v: Array[Float], planes: Array[Array[Float]]): Int = {
     var sig = 0
     var b = 0
@@ -78,18 +92,24 @@ object Ann {
   }
 
   /**
-   * LSH ANN: bucket by hyperplane signature (2 independent tables for
-   * recall), exact cosine rerank within candidate buckets.
+   * LSH ANN: bucket by hyperplane signature ([[LshTables]] independent
+   * tables — recall at moderate-cosine neighbors comes from many
+   * narrow tables, 1-(1-p^bits)^tables), exact cosine rerank within
+   * candidate buckets. Per-table bucket width stays O([[TargetBucket]])
+   * at any corpus size, so per-query candidate work is
+   * O(tables x targetBucket), sub-linear in n.
    */
   def lshTopK(spark: SparkSession, sfDir: String,
-              nQueries: Int = 50, k: Int = 3): DataFrame = {
+              nQueries: Int = 50, k: Int = 3,
+              tables: Int = LshTables): DataFrame = {
     import spark.implicits._
     val dim = 64
-    val planes = spark.sparkContext.broadcast(Array.tabulate(2) { t =>
-      val rnd = new java.util.Random(1000 + t)
-      Array.fill(LshBits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-    })
     val vecs = typedVecs(spark, sfDir)
+    val bits = lshBits(vecs.count())
+    val planes = spark.sparkContext.broadcast(Array.tabulate(tables) { t =>
+      val rnd = new java.util.Random(1000 + t)
+      Array.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    })
     val bucketed = vecs.mapPartitions { it =>
       val ps = planes.value
       it.flatMap { v =>

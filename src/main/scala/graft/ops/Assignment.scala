@@ -80,8 +80,9 @@ object Assignment {
     out
   }
 
-  /** Greedy fallback for oversized blocks: repeatedly take the
-    * globally cheapest remaining (row, col). */
+  /** Greedy matching on a dense matrix (kept for the adversarial-case
+    * unit comparison against [[solve]]; the distributed path uses
+    * [[greedySparse]] and never materializes a matrix). */
   def greedy(cost: Array[Array[Double]]): Array[Int] = {
     val n = cost.length
     if (n == 0) return Array.empty
@@ -97,34 +98,97 @@ object Assignment {
   }
 
   /**
-   * Per-block optimal assignment over the scored candidate pairs:
+   * Greedy matching DIRECTLY off the sparse (a, b, cost) pair list:
+   * sort by (cost, a, b), take a pair iff both endpoints are free.
+   * O(p log p) time, O(p) memory in the number of PAIRS — never the
+   * |A| x |B| matrix the round-2 version allocated per block (8M cells
+   * for the sf0.1 hot block; an OOM at 100x).
+   *
+   * @return (matchedPairCount, totalCostMicros)
+   */
+  def greedySparse(pairs: Array[(Long, Long, Double)]): (Long, Long) = {
+    val sorted = pairs.sortBy { case (a, b, c) => (c, a, b) }
+    val usedA = new java.util.HashSet[Long]()
+    val usedB = new java.util.HashSet[Long]()
+    var n = 0L
+    var total = 0L
+    var i = 0
+    while (i < sorted.length) {
+      val (a, b, c) = sorted(i)
+      if (!usedA.contains(a) && !usedB.contains(b)) {
+        usedA.add(a); usedB.add(b)
+        n += 1
+        total += math.round(c * 1000000)
+      }
+      i += 1
+    }
+    (n, total)
+  }
+
+  /**
+   * Per-block one-to-one assignment over the scored candidate pairs:
    * returns (block_key, n_a, n_b, n_assigned, cost_micros, method).
-   * Missing pairs (not candidates) get cost 1.0.
+   *
+   * Scale shape: blocks small on BOTH sides (<= maxSide) run the exact
+   * Hungarian kernel on a dense matrix (missing pairs cost 1.0, as the
+   * reference completes its cost matrices); every other block runs
+   * [[greedySparse]] on its candidate pair list, PRUNED before the
+   * group shuffle to each endpoint's topR cheapest pairs (two
+   * row_number windows) — a one-to-one matching can use at most one
+   * pair per endpoint, so pruning to the per-endpoint cheap edges
+   * bounds per-task input at O((|A|+|B|) x topR) while leaving the
+   * greedy result essentially intact. No task ever holds a
+   * pair-count-of-the-hot-block-sized (let alone |A| x |B|) structure.
    */
   def blockAssignment(spark: SparkSession, sfDir: String,
-                      maxSide: Int = 30): DataFrame = {
-    import spark.implicits._
-    val scored = graft.EntryStages.scoredp(spark, sfDir)
+                      maxSide: Int = 30, topR: Int = 5): DataFrame =
+    assignPairs(
+      graft.EntryStages.scoredp(spark, sfDir)
+        .select(col("block_key"), col("idA"), col("idB"), col("dist")),
+      maxSide, topR)
+
+  /** Core of [[blockAssignment]] over an explicit
+    * (block_key, idA, idB, dist) pair set. */
+  def assignPairs(pairs: DataFrame, maxSide: Int = 30,
+                  topR: Int = 5): DataFrame = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wBlock = Window.partitionBy("block_key")
+    val wA = Window.partitionBy("block_key", "idA")
+      .orderBy(col("dist").asc, col("idB").asc)
+    val wB = Window.partitionBy("block_key", "idB")
+      .orderBy(col("dist").asc, col("idA").asc)
+    val maxPairs = maxSide.toLong * maxSide
+    val pruned = pairs
+      .withColumn("n_pairs", count(lit(1)).over(wBlock))
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+      // small blocks keep every pair (exact Hungarian needs the full
+      // matrix); big blocks keep each endpoint's topR cheapest edges
+      .filter(col("n_pairs") <= maxPairs ||
+        col("ra") <= topR || col("rb") <= topR)
       .select(col("block_key"), col("idA"), col("idB"), col("dist"))
       .as[(String, Long, Long, Double)]
-    scored.groupByKey(_._1).mapGroups { (key, it) =>
-      val pairs = it.toArray
-      val as = pairs.map(_._2).distinct.sorted
-      val bs = pairs.map(_._3).distinct.sorted
-      val aIdx = as.zipWithIndex.toMap
-      val bIdx = bs.zipWithIndex.toMap
-      val cost = Array.fill(as.length, bs.length)(1.0)
-      pairs.foreach { case (_, a, b, d) => cost(aIdx(a))(bIdx(b)) = d }
-      val (assign, method) =
-        if (as.length <= maxSide && bs.length <= maxSide)
-          (solve(cost), "hungarian")
-        else (greedy(cost), "greedy")
-      var total = 0L
-      var nAssigned = 0L
-      assign.zipWithIndex.foreach { case (j, i) =>
-        if (j >= 0) { total += math.round(cost(i)(j) * 1000000); nAssigned += 1 }
+    pruned.groupByKey(_._1).mapGroups { (key, it) =>
+      val ps = it.map { case (_, a, b, d) => (a, b, d) }.toArray
+      val as = ps.map(_._1).distinct.sorted
+      val bs = ps.map(_._2).distinct.sorted
+      if (as.length <= maxSide && bs.length <= maxSide) {
+        val aIdx = as.zipWithIndex.toMap
+        val bIdx = bs.zipWithIndex.toMap
+        val cost = Array.fill(as.length, bs.length)(1.0)
+        ps.foreach { case (a, b, d) => cost(aIdx(a))(bIdx(b)) = d }
+        val assign = solve(cost)
+        var total = 0L
+        var nAssigned = 0L
+        assign.zipWithIndex.foreach { case (j, i) =>
+          if (j >= 0) { total += math.round(cost(i)(j) * 1000000); nAssigned += 1 }
+        }
+        (key, as.length.toLong, bs.length.toLong, nAssigned, total, "hungarian")
+      } else {
+        val (nAssigned, total) = greedySparse(ps)
+        (key, as.length.toLong, bs.length.toLong, nAssigned, total, "greedy")
       }
-      (key, as.length.toLong, bs.length.toLong, nAssigned, total, method)
     }.toDF("block_key", "n_a", "n_b", "n_assigned", "cost_micros", "method")
       .orderBy("block_key")
   }

@@ -137,6 +137,11 @@ object OracleSql {
   val normalizeSha: String = q(
     "SELECT id, content_norm, sha FROM normrec")
 
+  val fullIndexPairs: String = q(
+    """SELECT a.id AS idA, b.id AS idB
+       FROM keyed a JOIN keyed b ON a.side = 'A' AND b.side = 'B'
+       WHERE a.dni % 211 = 0 AND b.dni % 211 = 0""")
+
   val blockingKeys: String = q(
     "SELECT id, block_key FROM keyed")
 
@@ -331,29 +336,26 @@ $vt
   val graphVegTrainTriples: String = q(vegSql(
     "dni_a = dni_b AND split_a = 'train' AND split_b = 'train'"))
 
-  val irPAtK: String = q(""", ranked AS (
+  val irPAtK: String = {
+    val ks = graft.eval.Metrics.DefaultKs
+    q(s""", ranked AS (
       SELECT idA, idB, label,
         CAST(row_number() OVER (PARTITION BY idA ORDER BY dist, idB) AS BIGINT) AS rank
       FROM scoredp WHERE split_a = 'test' AND split_b = 'test'
     ), perq AS (
       SELECT idA, CAST(SUM(label) AS BIGINT) AS n_rel,
-        CAST(SUM(CASE WHEN rank <= 1 THEN label ELSE 0 END) AS BIGINT) AS hits_1,
-        CAST(SUM(CASE WHEN rank <= 3 THEN label ELSE 0 END) AS BIGINT) AS hits_3,
-        CAST(SUM(CASE WHEN rank <= 10 THEN label ELSE 0 END) AS BIGINT) AS hits_10
+${ks.map(k => s"        CAST(SUM(CASE WHEN rank <= $k THEN label ELSE 0 END) AS BIGINT) AS hits_$k").mkString(",\n")}
       FROM ranked GROUP BY idA
     ), rel AS (SELECT * FROM perq WHERE n_rel > 0
     ), agged AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-        CAST(SUM(CAST(round(hits_1 * 1000000.0 / 1) AS BIGINT)) AS BIGINT) AS sp_1,
-        CAST(SUM(CAST(round(hits_3 * 1000000.0 / 3) AS BIGINT)) AS BIGINT) AS sp_3,
-        CAST(SUM(CAST(round(hits_10 * 1000000.0 / 10) AS BIGINT)) AS BIGINT) AS sp_10
+${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)) AS BIGINT) AS sp_$k").mkString(",\n")}
       FROM rel
     )
-    SELECT CAST(1 AS BIGINT) AS k, n_queries, sp_1 / n_queries / 1000000.0 AS mean_p_at_k FROM agged
-    UNION ALL
-    SELECT CAST(3 AS BIGINT), n_queries, sp_3 / n_queries / 1000000.0 FROM agged
-    UNION ALL
-    SELECT CAST(10 AS BIGINT), n_queries, sp_10 / n_queries / 1000000.0 FROM agged""")
+    ${ks.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS k, n_queries, sp_$k / n_queries / 1000000.0 AS mean_p_at_k FROM agged")
+      .mkString("\n    UNION ALL\n    ")}""")
+  }
 
   val harmonizeLang: String = q(
     """SELECT f.family AS family, CAST(COUNT(*) AS BIGINT) AS n

@@ -151,6 +151,25 @@ SELECT id1, id2, label FROM (
   ORDER BY cos DESC, id1, id2 LIMIT 20
 )"""
 
+  /** Exact near-dup pairs over the planted augmented embedding view
+    * (mirrors graft.ops.Dedup.augmentedEmbeddings / embedLshPairs: the
+    * LSH + rerank output must equal this exact cosine join — natural
+    * max cosine ~0.51 vs planted ~0.995+, so the 0.9 threshold has a
+    * huge kernel-difference margin). */
+  val dedupEmbedLsh: String = s"""WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+), aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+  UNION ALL
+  SELECT vec_id + ${graft.ops.Dedup.PlantOffset},
+         ([embedding[1] * 1.1] || embedding[2:])::DOUBLE[] AS v
+  FROM base WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+ORDER BY id1, id2"""
+
   val streamWindowed: String = """SELECT
   CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
   event_type,
@@ -166,6 +185,30 @@ FROM events GROUP BY 1, 2"""
   CAST(doc_id % 640 + 64 AS BIGINT) AS width,
   CAST(doc_id % 480 + 48 AS BIGINT) AS height
 FROM documents"""
+
+  /** Closed-form expected stats of graft.ops.Multimodal.decodeFeatures:
+    * the Spark side ENCODES a real BMP/WAV container per doc_id and
+    * DECODES it by header/chunk parsing; this oracle recomputes the
+    * same stats arithmetically — a parsing bug (stride, row order,
+    * chunk offsets, sample widths) cannot hash-match it. */
+  val mmDecodeFeatures: String = """WITH f AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+         doc_id % 4 + 4 AS w, strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE m WHEN 0 THEN w
+              WHEN 1 THEN 8000 + (doc_id % 8) * 1000
+              ELSE 0 END AS BIGINT) AS dim1,
+  CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 32 ELSE 0 END AS BIGINT) AS dim2,
+  CAST(CASE m
+    WHEN 0 THEN list_sum(list_transform(range(0, w * 4 * 3),
+                  i -> (doc_id * 3 + i) % 256))
+    WHEN 1 THEN list_sum(list_transform(range(0, 32),
+                  i -> abs((doc_id * 7 + i * 13) % 2048 - 1024)))
+    ELSE n_bytes END AS BIGINT) AS stat
+FROM f"""
 
   /** recordlinkage-style gauss comparator over two embedding dims,
     * micro-rounded (mirrors graft.ml.EmbedLogistic.gaussSim). */

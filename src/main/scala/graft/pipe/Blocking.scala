@@ -90,4 +90,28 @@ object Blocking {
    */
   def candidatePairs(records: DataFrame, salts: Int = 64): DataFrame =
     candidates(withBlockKey(Normalize(records)), salts)
+
+  /**
+   * Full-index (cartesian) candidate generation — the reference's CORA
+   * mode, which pairs EVERY A record with every B record
+   * (/root/reference/data/cora.py:116-118). First-class but GUARDED:
+   * the cross product is counted before it is built and the call
+   * refuses beyond `maxPairs` — an unguarded cross join is a
+   * non-starter at web scale, where [[candidates]] (blocked + salted)
+   * is the path; full index exists for small curated corpora.
+   */
+  def fullIndex(keyed: DataFrame, maxPairs: Long = 100000000L): DataFrame = {
+    val a = keyed.filter(col("side") === "A")
+      .select(col("id").as("idA"), col("content_norm").as("content_a"),
+        col("dni").as("dni_a"), col("split").as("split_a"))
+    val b = keyed.filter(col("side") === "B")
+      .select(col("id").as("idB"), col("content_norm").as("content_b"),
+        col("dni").as("dni_b"), col("split").as("split_b"))
+    val nA = a.count()
+    val nB = b.count()
+    require(nA * nB <= maxPairs,
+      s"full index would materialize $nA x $nB = ${nA * nB} pairs " +
+        s"(> $maxPairs); use the blocked candidates() path at this scale")
+    a.crossJoin(b)
+  }
 }

@@ -368,32 +368,39 @@ object KrEar {
     val entB = spark.sparkContext.broadcast(model.ent)
     val out = graft.EntryStages.cand(spark, sfDir)
       .select(col("idA"), col("idB"),
-        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+        (col("dni_a") === col("dni_b")).cast("long").as("label"),
+        col("split_a"), col("split_b"))
       .join(recs.select(col("rid").as("idA"), col("kid").as("kA")), "idA")
       .join(recs.select(col("rid").as("idB"), col("kid").as("kB")), "idB")
-      .select(col("idA"), col("idB"), col("kA"), col("kB"), col("label"))
-      .as[(Long, Long, Long, Long, Long)]
+      .select(col("idA"), col("idB"), col("kA"), col("kB"), col("label"),
+        col("split_a"), col("split_b"))
+      .as[(Long, Long, Long, Long, Long, String, String)]
       .mapPartitions { it =>
         val e = entB.value
-        it.map { case (a, bb, ka, kb, lbl) =>
-          (a, bb, Embed.cosine(e(ka.toInt), e(kb.toInt)), lbl)
+        it.map { case (a, bb, ka, kb, lbl, sa, sb) =>
+          (a, bb, Embed.cosine(e(ka.toInt), e(kb.toInt)), lbl, sa, sb)
         }
-      }.toDF("idA", "idB", "cos", "label")
-    entP.unpersist()
+      }.toDF("idA", "idB", "cos", "label", "split_a", "split_b")
+    entP.unpersist(); valIds.unpersist(); relT.unpersist(); attrT.unpersist()
     out
   }
 
-  /** Summary row: losses decreased + test F1/P/R/MRR at best theta. */
+  /** Summary row: theta swept on the TRAIN-split pairs only, F1/P/R and
+    * MRR reported on the TEST split (never tuned on the reported set). */
   def eval(spark: SparkSession, sfDir: String,
            cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val scores = pairScores(spark, sfDir, cfg).persist()
+    val all = pairScores(spark, sfDir, cfg).persist()
     val dist = lit(1.0) - col("cos")
-    val theta = graft.pipe.Threshold.bestThetaRobust(scores, dist, col("label"))
+    val theta = graft.pipe.Threshold.bestThetaRobust(
+      all.filter(col("split_a") === "train" && col("split_b") === "train"),
+      dist, col("label"))
+    val scores = all.filter(
+      col("split_a") === "test" && col("split_b") === "test")
     val m = graft.eval.Metrics.pairMetrics(scores,
       (dist <= theta).cast("int"), col("label")).head()
     val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
-    scores.unpersist()
+    all.unpersist()
     Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
       m.getAs[Double]("f1"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))

@@ -362,32 +362,40 @@ object MTransE {
     val mB = spark.sparkContext.broadcast((model.entA, model.entB, model.m))
     val out = graft.EntryStages.cand(spark, sfDir)
       .select(col("idA"), col("idB"),
-        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+        (col("dni_a") === col("dni_b")).cast("long").as("label"),
+        col("split_a"), col("split_b"))
       .join(recA.select(col("rid").as("idA"), col("ent_id").as("ka")), "idA")
       .join(recB.select(col("rid").as("idB"), col("ent_id").as("kb")), "idB")
-      .select(col("idA"), col("idB"), col("ka"), col("kb"), col("label"))
-      .as[(Long, Long, Long, Long, Long)]
+      .select(col("idA"), col("idB"), col("ka"), col("kb"), col("label"),
+        col("split_a"), col("split_b"))
+      .as[(Long, Long, Long, Long, Long, String, String)]
       .mapPartitions { it =>
         val (ea, eb, mm) = mB.value
-        it.map { case (x, y, ka, kb, lbl) =>
-          (x, y, Embed.cosine(matVec(mm, ea(ka.toInt)), eb(kb.toInt)), lbl)
+        it.map { case (x, y, ka, kb, lbl, sa, sb) =>
+          (x, y, Embed.cosine(matVec(mm, ea(ka.toInt)), eb(kb.toInt)), lbl,
+            sa, sb)
         }
-      }.toDF("idA", "idB", "cos", "label")
+      }.toDF("idA", "idB", "cos", "label", "split_a", "split_b")
     entsA.unpersist(); entsB.unpersist()
     out
   }
 
-  /** Summary row (shared by mtranse_eval / etranse_eval). */
+  /** Summary row (shared by mtranse_eval / etranse_eval): theta swept
+    * on the TRAIN-split pairs only, metrics reported on the TEST split. */
   def eval(spark: SparkSession, sfDir: String,
            cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val scores = pairScores(spark, sfDir, cfg).persist()
+    val all = pairScores(spark, sfDir, cfg).persist()
     val dist = lit(1.0) - col("cos")
-    val theta = graft.pipe.Threshold.bestThetaRobust(scores, dist, col("label"))
+    val theta = graft.pipe.Threshold.bestThetaRobust(
+      all.filter(col("split_a") === "train" && col("split_b") === "train"),
+      dist, col("label"))
+    val scores = all.filter(
+      col("split_a") === "test" && col("split_b") === "test")
     val m = graft.eval.Metrics.pairMetrics(scores,
       (dist <= theta).cast("int"), col("label")).head()
     val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
-    scores.unpersist()
+    all.unpersist()
     Seq((cfg.dim.toLong, cfg.epochs.toLong, if (cfg.evolve) 1L else 0L, theta,
       m.getAs[Double]("f1"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))

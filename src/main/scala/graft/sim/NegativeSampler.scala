@@ -27,19 +27,29 @@ object NegativeSampler {
 
   /**
    * @return (idA, idB_neg, rep) — `negRate` corruptions per true pair.
+   *
+   * Scale shape: the per-block sampling universe is the DISTINCT
+   * B-side id set (O(block members)) cogrouped with the block's TRUE
+   * pairs (O(members)) — round 2 pulled the block's ENTIRE candidate
+   * pair list into one task (`groupByKey` over pairs), which for the
+   * deliberate sf0.1 hot block 'c0' is ~8M rows in a single task and
+   * an OOM at 100x. Per-task memory is now O(members), never O(pairs).
    */
   def sample(spark: SparkSession, sfDir: String, negRate: Int = 3): DataFrame = {
     import spark.implicits._
     val cand = graft.EntryStages.cand(spark, sfDir)
-      .select(col("block_key"), col("idA"), col("idB"),
-        (col("dni_a") === col("dni_b")).cast("int").as("is_true"))
-      .as[(String, Long, Long, Int)]
-    cand.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val rows = it.toArray
-      val bs = rows.map(_._3).distinct.sorted
-      val trueB = rows.filter(_._4 == 1).groupBy(_._2)
-        .map { case (a, ps) => a -> ps.map(_._3).toSet }
-      rows.filter(_._4 == 1).iterator.flatMap { case (_, a, b, _) =>
+    val bsByBlock = cand.select(col("block_key"), col("idB")).distinct()
+      .as[(String, Long)].groupByKey(_._1)
+    val truthByBlock = cand.filter(col("dni_a") === col("dni_b"))
+      .select(col("block_key"), col("idA"), col("idB"))
+      .as[(String, Long, Long)].groupByKey(_._1)
+    truthByBlock.cogroup(bsByBlock) { (_, truthIt, bsIt) =>
+      val bs = bsIt.map(_._2).toArray.sorted
+      val truth = truthIt.map { case (_, a, b) => (a, b) }.toArray
+        .sortBy(identity)
+      val trueB = truth.groupBy(_._1)
+        .map { case (a, ps) => a -> ps.map(_._2).toSet }
+      truth.iterator.flatMap { case (a, b) =>
         val forbidden = trueB.getOrElse(a, Set.empty) + b
         val picks = Iterator.from(0)
           .map(r => bs(((fnvMix(a, r.toLong) % bs.length) + bs.length).toInt % bs.length))

@@ -61,9 +61,16 @@ object RLTransE {
         .cast("long"))
   }
 
+  /** Train-once per (session, sfDir, cfg): every consumer of the
+    * standard fit (eval, embedding export, WERL, grid cells with the
+    * same cfg) reuses one model — the reference's frozen-Saver-model
+    * semantics (/root/reference/werl.py:364-374). [[trainOn]] with
+    * custom triples (SEEA's per-round retrain) stays uncached. */
   def train(spark: SparkSession, sfDir: String,
             cfg: Config = Config()): Model =
-    trainOn(spark, GraphBuild.vegTrainTriples(spark, sfDir), cfg)
+    graft.EntryStages.memoModel(spark, sfDir, s"rltranse:$cfg") {
+      trainOn(spark, GraphBuild.vegTrainTriples(spark, sfDir), cfg)
+    }
 
   /** Train over an explicit VEG triple set (val_a, val_b, r, n). */
   def trainOn(spark: SparkSession, veg: DataFrame,
@@ -295,23 +302,34 @@ object RLTransE {
         col("f_st").as("st_dist"))
   }
 
-  /** Summary row: config, threshold, test F1/P/R, MRR, and the mean
-    * st-field distance over TRUE pairs in micro-units (low = the value
+  /** Summary row: config, threshold (swept on the TRAIN split — never
+    * on the pairs being reported, mirroring the flagship
+    * EntryStages.theta), test-split F1/P/R, MRR, and the mean st-field
+    * distance over test TRUE pairs in micro-units (low = the value
     * evolution was actually learned). */
   def eval(spark: SparkSession, sfDir: String,
            cfg: Config = Config()): DataFrame = {
     import spark.implicits._
     val model = train(spark, sfDir, cfg)
-    val scores = pairScores(spark, sfDir, model).persist()
+    val fieldCols = ScoredRels.map(r => col(s"f_$r"))
+    val all = fieldScores(spark, sfDir, model, testOnly = false)
+      .withColumn("dist", fieldCols.reduce(_ + _))
+      .select(col("idA"), col("idB"), col("label"), col("dist"),
+        col("f_st").as("st_dist"), col("split_a"), col("split_b"))
+      .persist()
+    val trainScores = all.filter(
+      col("split_a") === "train" && col("split_b") === "train")
     val theta = graft.pipe.Threshold.bestThetaRobust(
-      scores, col("dist"), col("label"))
+      trainScores, col("dist"), col("label"))
+    val scores = all.filter(
+      col("split_a") === "test" && col("split_b") === "test")
     val m = graft.eval.Metrics.pairMetrics(scores,
       (col("dist") <= theta).cast("int"), col("label")).head()
     val ir = graft.eval.Metrics.irMetrics(scores, col("dist"), col("label"))
       .head()
     val tpSt = scores.filter(col("label") === 1)
       .agg(avg("st_dist")).head().getDouble(0)
-    scores.unpersist()
+    all.unpersist()
     Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
       m.getAs[Double]("f1"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), ir.getAs[Double]("mrr"),

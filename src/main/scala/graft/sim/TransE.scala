@@ -263,8 +263,11 @@ object TransE {
     import spark.implicits._
     val ents = graft.graph.GraphBuild.erEntities(spark, sfDir)
     val nEnt = ents.count().toInt
+    // instance seed mixes h, t AND r — the round-2 h-and-t-only seed
+    // collided for same-endpoint triples with different relations,
+    // which then drew identical negative samples
     val triples = graft.graph.GraphBuild.erTriples(spark, sfDir)
-      .withColumn("idx", col("h") * 2654435761L + col("t"))
+      .withColumn("idx", xxhash64(col("h"), col("t"), col("r")))
     val model = train(spark, triples, nEnt,
       graft.graph.GraphBuild.Relations.size, cfg)
     // record label -> entity id resolved by join, not a driver map
@@ -274,30 +277,37 @@ object TransE {
     val entB = spark.sparkContext.broadcast(model.ent)
     graft.EntryStages.cand(spark, sfDir)
       .select(col("idA"), col("idB"),
-        (col("dni_a") === col("dni_b")).cast("long").as("label"))
+        (col("dni_a") === col("dni_b")).cast("long").as("label"),
+        col("split_a"), col("split_b"))
       .join(recEnt.select(col("rid").as("idA"), col("ent_id").as("entA")), "idA")
       .join(recEnt.select(col("rid").as("idB"), col("ent_id").as("entB")), "idB")
-      .select(col("idA"), col("idB"), col("entA"), col("entB"), col("label"))
-      .as[(Long, Long, Long, Long, Long)]
+      .select(col("idA"), col("idB"), col("entA"), col("entB"), col("label"),
+        col("split_a"), col("split_b"))
+      .as[(Long, Long, Long, Long, Long, String, String)]
       .mapPartitions { it =>
         val e = entB.value
-        it.map { case (a, b, ea, eb, lbl) =>
-          (a, b, Embed.cosine(e(ea.toInt), e(eb.toInt)), lbl)
+        it.map { case (a, b, ea, eb, lbl, sa, sb) =>
+          (a, b, Embed.cosine(e(ea.toInt), e(eb.toInt)), lbl, sa, sb)
         }
-      }.toDF("idA", "idB", "cos", "label")
+      }.toDF("idA", "idB", "cos", "label", "split_a", "split_b")
   }
 
-  /** Summary row: epochs, final loss, best-threshold test F1, MRR. */
+  /** Summary row: theta swept on the TRAIN-split pairs only, F1/MRR
+    * reported on the TEST split (never tuned on the reported set). */
   def eval(spark: SparkSession, sfDir: String,
            cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val scores = pairScores(spark, sfDir, cfg).persist()
+    val all = pairScores(spark, sfDir, cfg).persist()
     val dist = lit(1.0) - col("cos")
-    val theta = graft.pipe.Threshold.bestThetaRobust(scores, dist, col("label"))
+    val theta = graft.pipe.Threshold.bestThetaRobust(
+      all.filter(col("split_a") === "train" && col("split_b") === "train"),
+      dist, col("label"))
+    val scores = all.filter(
+      col("split_a") === "test" && col("split_b") === "test")
     val m = graft.eval.Metrics.pairMetrics(scores,
       (dist <= theta).cast("int"), col("label")).head()
     val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
-    scores.unpersist()
+    all.unpersist()
     Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
       m.getAs[Double]("f1"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))

@@ -78,10 +78,12 @@ class MetricsSpec extends AnyFunSuite {
     val out = graft.eval.GridSearch.sweep(spark, combos, { p =>
       graft.sim.RLTransE.eval(spark, sf, graft.sim.RLTransE.Config(
         dim = p("dim").toInt, epochs = p("epochs").toInt))
-        .select("f1")
     }).collect()
     assert(out.length == 2)
     // sorted by descending f1
     assert(out(0).getAs[Double]("f1") >= out(1).getAs[Double]("f1"))
+    // per-combo IR metrics carried through (reference logs them per combo)
+    assert(out.forall(r => !r.getAs[Double]("mrr").isNaN))
+    assert(out.forall(r => !r.getAs[Double]("precision").isNaN))
   }
 }

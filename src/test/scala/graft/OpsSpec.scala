@@ -99,14 +99,90 @@ class OpsSpec extends AnyFunSuite {
     assert(m.getAs[Double]("f1") >= 0.95, s"ECM F1 ${m.getAs[Double]("f1")}")
   }
 
-  test("multimodal plumbing: binary schema + batched stub decode") {
+  test("embedding LSH recovers EXACTLY the exact-cosine near-dup set") {
+    import spark.implicits._
+    // exact ground truth over the planted augmented view, driver-side
+    val vecs = Dedup.augmentedEmbeddings(spark, sf)
+      .as[(Long, Array[Float])].collect()
+    assert(vecs.length == 600) // 500 base + 100 planted
+    val exact = (for {
+      (i, vi) <- vecs.iterator
+      (j, vj) <- vecs.iterator
+      if i < j && graft.sim.Embed.cosine(vi, vj) >= 0.9
+    } yield (i, j)).toSet
+    assert(exact.size == 100) // one planted pair per vec_id % 5 == 0
+    assert(exact.forall { case (a, b) => b == a + Dedup.PlantOffset })
+    val lsh = Dedup.embedLshPairs(spark, sf).as[(Long, Long)].collect().toSet
+    assert(lsh == exact, // recall AND precision 1.0 on the planted set
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
+  test("ANN LSH recall@3 >= 0.8 vs brute force") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(ops.Ann.bruteTopK(spark, sf))
+    val lsh = pairs(ops.Ann.lshTopK(spark, sf))
+    assert(brute.size == 150)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@3 $recall")
+  }
+
+  test("hot-block assignment: greedy off the sparse pair list, no dense matrix") {
+    import spark.implicits._
+    // a single dense block far beyond maxSide: 1200 x 1200 = 1.44M
+    // candidate pairs (round 2's dense path would allocate a 1.44M-cell
+    // matrix in ONE task; the sparse path prunes to ~12k pairs)
+    val n = 1200
+    val ids = spark.range(n).select(col("id"))
+    val pairs = ids.select(col("id").as("idA"))
+      .crossJoin(ids.select(col("id").as("idB")))
+      .withColumn("block_key", lit("hot"))
+      .withColumn("dist",
+        pmod(col("idA") * 31 + col("idB") * 17, lit(1000)) / lit(1000.0))
+    val out = Assignment.assignPairs(pairs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("method") == "greedy")
+    assert(r.getAs[Long]("n_a") == n && r.getAs[Long]("n_b") == n)
+    // maximal matching on the per-endpoint top-5 edge union covers
+    // most endpoints
+    assert(r.getAs[Long]("n_assigned") >= (n * 0.7).toLong)
+    // small blocks still take the exact Hungarian path
+    val small = Assignment.assignPairs(
+      pairs.filter(col("idA") < 10 && col("idB") < 10)).collect().head
+    assert(small.getAs[String]("method") == "hungarian")
+    assert(small.getAs[Long]("n_assigned") == 10)
+  }
+
+  test("multimodal: BMP/WAV encode -> parse roundtrip matches closed form") {
+    import ops.Multimodal._
+    for (id <- Seq(0L, 3L, 6L, 99L, 123456L)) {
+      val (w, h, sum) = decodeBmp(makeBmp(id))
+      assert(w == bmpWidth(id) && h == BmpHeight)
+      val expected = (0L until w.toLong * h * 3).map(i => bmpPixel(id, i).toLong).sum
+      assert(sum == expected, s"bmp pixel sum for doc $id")
+    }
+    for (id <- Seq(1L, 4L, 7L, 1000L)) {
+      val (sr, n, sumAbs) = decodeWav(makeWav(id))
+      assert(sr == wavSampleRate(id) && n == WavSamples)
+      val expected = (0 until WavSamples).map(i => math.abs(wavSample(id, i).toLong)).sum
+      assert(sumAbs == expected, s"wav |sample| sum for doc $id")
+    }
+  }
+
+  test("multimodal plumbing: binary schema + batched real decode") {
     val meta = ops.Multimodal.binaryMeta(spark, sf)
     assert(meta.count() == 500)
-    val feats = ops.Multimodal.decodeFeatures(spark, sf)
-    assert(feats.filter(col("feat_dim") =!= 16).count() == 0)
-    // L2-normalized stub features: norm ~ 1
-    assert(feats.filter(abs(col("feat_norm_micros") - 1000000) > 5).count() == 0)
-    val tbl = ops.Multimodal.mediaTable(spark, sf)
+    val feats = ops.Multimodal.decodeFeatures(spark, sf).persist()
+    assert(feats.count() == 500)
+    // image rows carry parsed BMP geometry; audio rows parsed WAV rate
+    assert(feats.filter(col("kind") === "image" &&
+      (col("dim1") < 4 || col("dim1") > 7 || col("dim2") =!= 4)).count() == 0)
+    assert(feats.filter(col("kind") === "audio" &&
+      (col("dim1") < 8000 || col("dim1") > 15000 || col("dim2") =!= 32)).count() == 0)
+    feats.unpersist()
+    val tbl = ops.Multimodal.mediaBinaryTable(spark, sf)
     assert(tbl.schema("payload").dataType.typeName == "binary")
   }
 }
