@@ -228,7 +228,7 @@ object Bench {
     // the ~1.5s fixed per-pass overhead (which would otherwise cap the
     // measurable efficiency), small enough for 2x2 forks x trials.
     val sampleDen = math.max(1L, math.round(nPairs / 1.5e6))
-    val forks = Seq(cpusLow -> 3, cpus -> 4, cpus -> 4, cpusLow -> 3)
+    val forks = Seq(cpusLow -> 2, cpus -> 4, cpus -> 4, cpusLow -> 2)
       .map { case (w, t) => w -> forkProbe(w, sfDir, sampleDen, t) }
     val byWidth = forks.groupBy(_._1).map { case (w, rs) =>
       w -> (rs.head._2._1, rs.flatMap(_._2._2))

@@ -189,6 +189,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
     "dedup_embed_lsh" -> oracle.OracleSqlOps.dedupEmbedLsh,
     "ann_topk" -> oracle.OracleSqlOps.annTopK,
+    "ann_ivf_topk" -> oracle.OracleSqlOps.annIvfTopK,
     "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,

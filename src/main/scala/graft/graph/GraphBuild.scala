@@ -60,6 +60,27 @@ object GraphBuild {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Dense ids 0..n-1 by sorted key: DISTRIBUTED sort + per-partition
+   * offset scan (`zipWithIndex` runs one count job over the sorted
+   * partitions, then assigns locally). Bit-identical to
+   * `row_number() OVER (ORDER BY key) - 1` — which is what the DuckDB
+   * oracle still computes — but a global window funnels the WHOLE
+   * dictionary through ONE task, the exact single-partition bottleneck
+   * that dies first at 100x.
+   */
+  private[graft] def denseIds(df: DataFrame, keyCol: String,
+                              idName: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = df.orderBy(keyCol).rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Entity dictionary: dense ids by sorted label (deterministic).
     * Memoized per (session, sfDir): half a dozen queries and every
     * trainer re-derive it otherwise. */
@@ -68,8 +89,7 @@ object GraphBuild {
       val t = rawTriples(spark, sfDir)
       val labels = t.select(col("rec").as("label"))
         .union(t.select(col("value").as("label"))).distinct()
-      labels.withColumn("ent_id",
-        (row_number().over(Window.orderBy("label")) - 1).cast("long"))
+      denseIds(labels, "label", "ent_id")
     }
 
   /** ER triples (h, t, r) with dictionary-encoded entity ids. */
@@ -151,8 +171,7 @@ object GraphBuild {
     val t = rawTriples(spark, sfDir, Some(side))
     val labels = t.select(col("rec").as("label"))
       .union(t.select(col("value").as("label"))).distinct()
-    labels.withColumn("ent_id",
-      (row_number().over(Window.orderBy("label")) - 1).cast("long"))
+    denseIds(labels, "label", "ent_id")
   }
 
   /** Per-side ER triples with the side's own dictionary. */

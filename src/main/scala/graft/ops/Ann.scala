@@ -156,16 +156,29 @@ object Ann {
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .as("sm"))
       .select(col("label"), transform(col("sm"), s => s.getField("m")).as("centroid"))
-      .collect().map(r => (r.getInt(0),
-        r.getSeq[Double](1).map(_.toFloat).toArray))
+      // centroids stay DOUBLE: truncating to float would diverge from
+      // the oracle's double-precision means at the 1e-7 level, enough
+      // to flip a micro-rounded probe comparison
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val centB = spark.sparkContext.broadcast(cents)
     val vecs = typedVecs(spark, sfDir)
     val queries = spark.sparkContext.broadcast(
       vecs.filter(col("vec_id") < nQueries).collect())
-    // per query: the nProbe closest centroids
+    // per query: the nProbe closest centroids — compared on
+    // micro-rounded cosine so the DuckDB oracle's probe choice (its
+    // own summation order) agrees bit-for-bit
+    def cosineFD(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
     val probes = queries.value.map { q =>
       val byDist = centB.value.map { case (l, c) =>
-        (l, Embed.cosine(q.embedding, c))
+        (l, math.round(cosineFD(q.embedding, c) * 1000000))
       }.sortBy { case (l, c) => (-c, l) }.take(nProbe).map(_._1).toSet
       (q.vec_id, byDist)
     }.toMap
@@ -181,9 +194,13 @@ object Ann {
           .map(q => (q.vec_id, vid, Embed.cosine(q.embedding, v)))
       }
     }.toDF("query_id", "neighbor_id", "cos")
+    // rank on micro-units (see bruteTopK: raw-double ranking would let
+    // one-ulp kernel divergence flip near-equal ranks vs the oracle)
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("cos_micros").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("cos_micros", round(col("cos") * 1000000.0).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }

@@ -235,4 +235,37 @@ FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS a,
   FROM scored
 )
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
+
+  /** IVF ANN oracle: per-label centroid means, top-2 probed labels per
+    * query, exact rerank — all on micro-rounded cosine (both engines'
+    * cosine kernels sum identical doubles in identical index order;
+    * centroids stay double on both sides). */
+  val annIvfTopK: String = {
+    val centCols = (1 to 64).map(i => s"avg(v[$i])").mkString(", ")
+    s"""WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT label, [$centCols]::DOUBLE[] AS c FROM e GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50
+), probe AS (
+  SELECT query_id, label,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      CAST(round(list_cosine_similarity(qv, c) * 1000000) AS BIGINT) DESC,
+      label) AS pr
+  FROM q CROSS JOIN cent
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    CAST(round(list_cosine_similarity(q.qv, e.v) * 1000000) AS BIGINT) AS cm
+  FROM q
+  JOIN probe p ON p.query_id = q.query_id AND p.pr <= 2
+  JOIN e ON e.label = p.label AND e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, neighbor_id) AS BIGINT) AS rank,
+    neighbor_id
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
+  }
 }

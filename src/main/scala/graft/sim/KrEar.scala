@@ -65,17 +65,15 @@ object KrEar {
       .zipWithIndex.toMap
     val relT = ear.filter(col("is_attr") === 0)
     val attrT = ear.filter(col("is_attr") === 1)
-    // entity ids: heads (records) + relational tails, densely packed
-    val entIds = relT.select(col("h").as("eid"))
-      .union(attrT.select(col("h").as("eid")))
-      .union(relT.select(col("t").as("eid"))).distinct()
-      .withColumn("kid", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("eid")) - 1)
-        .cast("long"))
-    val valIds = attrT.select(col("t").as("eid")).distinct()
-      .withColumn("kid", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("eid")) - 1)
-        .cast("long"))
+    // entity ids: heads (records) + relational tails, densely packed —
+    // distributed sort+zipWithIndex, not a single-task global window
+    val entIds = GraphBuild.denseIds(
+      relT.select(col("h").as("eid"))
+        .union(attrT.select(col("h").as("eid")))
+        .union(relT.select(col("t").as("eid"))).distinct(),
+      "eid", "kid")
+    val valIds = GraphBuild.denseIds(
+      attrT.select(col("t").as("eid")).distinct(), "eid", "kid")
     def remapRel(df: DataFrame, idx: Map[Long, Int]): DataFrame = {
       val m = typedLit(idx.map { case (k, v) => (k, v.toLong) })
       df.withColumn("rk", element_at(m, col("r")))
