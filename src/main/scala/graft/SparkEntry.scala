@@ -163,6 +163,7 @@ object SparkEntry {
     "match_edges" -> OracleSql.matchEdges,
     "sql_link" -> OracleSql.matchEdges,
     "pair_metrics" -> OracleSql.pairMetrics,
+    "cc_clusters" -> OracleSql.ccClusters,
     "ir_query_facts" -> OracleSql.irQueryFacts,
     "ir_metrics" -> OracleSql.irMetrics,
     "ir_p_at_k" -> OracleSql.irPAtK,

@@ -137,6 +137,39 @@ object OracleSql {
   val normalizeSha: String = q(
     "SELECT id, content_norm, sha FROM normrec")
 
+  /**
+   * Connected components as SQL: robust plateau-midpoint theta from
+   * the shared sweep CTE, undirected match edges, then transitive
+   * closure via a RECURSIVE CTE (components here are small — the
+   * closure is component-size-quadratic, fine for an oracle); cluster
+   * label = min node id of the component, exactly the fixpoint the
+   * large/small-star loop converges to.
+   */
+  val ccClusters: String =
+    "WITH RECURSIVE " + prefix.stripPrefix("WITH ") + """
+, fmax AS (SELECT max(f1) AS fm FROM sweep),
+blo AS (SELECT min(CAST(ceil(theta*50) AS BIGINT)) AS b FROM sweep, fmax WHERE f1 = fm),
+bhi AS (SELECT coalesce(min(CAST(ceil(theta*50) AS BIGINT)) - 1, (SELECT b FROM blo)) AS b
+        FROM sweep, fmax, blo WHERE CAST(ceil(theta*50) AS BIGINT) > blo.b AND f1 < fm),
+theta_r AS (SELECT CAST(floor(((SELECT b FROM blo) + (SELECT b FROM bhi)) / 2.0) AS BIGINT) / 50.0 AS t),
+-- MATERIALIZED: the recursive closure below re-evaluates its joined
+-- CTEs per iteration; without this the whole jw/levenshtein scoring
+-- chain would be recomputed every round
+medges AS MATERIALIZED (
+  SELECT idA, idB FROM scoredp, theta_r WHERE dist <= t
+),
+uedges AS MATERIALIZED (
+  SELECT idA AS a, idB AS b FROM medges
+  UNION ALL
+  SELECT idB AS a, idA AS b FROM medges
+),
+reach AS (
+  SELECT id AS node, id AS lbl FROM keyed
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN uedges e ON e.a = r.node
+)
+SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"""
+
   val fullIndexPairs: String = q(
     """SELECT a.id AS idA, b.id AS idB
        FROM keyed a JOIN keyed b ON a.side = 'A' AND b.side = 'B'
