@@ -38,6 +38,18 @@ class SynthBlockingSpec extends AnyFunSuite {
     assert(truthInCand == truth)
   }
 
+  test("full-index mode pairs every A with every B, guard rail refuses oversize") {
+    val keyed = Blocking.withBlockKey(Normalize(gen.Synth.records(spark, sf)))
+      .filter(col("dni") % 211 === 0)
+    val full = Blocking.fullIndex(keyed)
+    val nA = keyed.filter(col("side") === "A").count()
+    val nB = keyed.filter(col("side") === "B").count()
+    assert(full.count() == nA * nB)
+    intercept[IllegalArgumentException] {
+      Blocking.fullIndex(keyed, maxPairs = 10)
+    }
+  }
+
   test("salted candidate join equals the plain equi-join (set equality)") {
     val keyed = Blocking.withBlockKey(Normalize(gen.Synth.records(spark, sf)))
     val plain = Blocking.candidates(keyed, salts = 1).select("idA", "idB")
