@@ -130,6 +130,14 @@ object SparkEntry {
       sim.TransE.eval(s, d, sim.TransE.Config(transH = true))),
     // --- RLTransE: per-relation value embeddings over the VEG graph ---
     "rltranse_eval" -> ((s, d) => sim.RLTransE.eval(s, d)),
+    // hyperparameter grid over RLTransE with per-combo IR metrics
+    // (the reference's per-combination test loops,
+    // /root/reference/tests/er/test_transe.py:90-121)
+    "grid_rltranse" -> ((s, d) =>
+      eval.GridSearch.sweep(s,
+        eval.GridSearch.grid("dim" -> Seq(8.0, 16.0), "epochs" -> Seq(30.0)),
+        p => sim.RLTransE.eval(s, d, sim.RLTransE.Config(
+          dim = p("dim").toInt, epochs = p("epochs").toInt)))),
     // --- KR-EAR: relational + attributional dual-encoder (EAR graph) ---
     "krear_eval" -> ((s, d) => sim.KrEar.eval(s, d)),
     // --- ERER dual-KG: prior pairs, joint same_as merge, MTransE/ETransE ---
