@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo("graft.functions.JaroWinkler", null, "jaro_winkler",
-        "jaro_winkler(str1, str2) - Jaro-Winkler similarity in [0, 1].", ""),
+        "jaro_winkler(str1, str2) - Jaro-Winkler similarity in [0, 1].",
+        "", "", "", "string_funcs", "", "", "built-in"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
