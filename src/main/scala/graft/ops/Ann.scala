@@ -121,7 +121,9 @@ object Ann {
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("table"), col("sig"))
-    val cands = q.join(bucketed, Seq("table", "sig"))
+    // corpus side shuffled-hash: it grows with the data (the query
+    // side is the bounded one, but the JOIN keys are the buckets)
+    val cands = q.join(bucketed.hint("shuffle_hash"), Seq("table", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
         col("embedding")).distinct()
