@@ -16,6 +16,40 @@ package graft.functions
  */
 object StringSim {
 
+  /**
+   * Per-thread reusable scratch: the kernels run millions of times per
+   * task, and per-call allocation (two match arrays for Jaro, a
+   * 128-row Peq table for Myers) costs ~5 KB of garbage per PAIR —
+   * multi-GB/s of allocation at full scoring throughput, which turns
+   * into GC/memory-bus pressure that is precisely the shared resource
+   * that caps wide-executor scaling. mapPartitions tasks are
+   * single-threaded, so ThreadLocal reuse is safe; the Peq table keeps
+   * an all-zero invariant by re-zeroing exactly the slots each call
+   * set (O(pattern) — never O(128 x blocks)).
+   */
+  private final class Scratch {
+    var m1 = new Array[Boolean](256)
+    var m2 = new Array[Boolean](256)
+    var peq = new Array[Long](128 * 8) // flat [char * blocks + block], all-zero
+    var vp = new Array[Long](8)
+    var vn = new Array[Long](8)
+    def boolCap(n: Int): Unit = {
+      if (m1.length < n) m1 = new Array[Boolean](math.max(n, m1.length * 2))
+      if (m2.length < n) m2 = new Array[Boolean](math.max(n, m2.length * 2))
+    }
+    def myersCap(bl: Int): Unit = {
+      if (vp.length < bl) {
+        vp = new Array[Long](math.max(bl, vp.length * 2))
+        vn = new Array[Long](vp.length)
+      }
+      if (peq.length < 128 * bl) peq = new Array[Long](128 * math.max(bl, 8))
+    }
+  }
+
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   /** Jaro similarity in [0,1]. Any empty operand -> 0 (DuckDB semantics, incl. ('','') -> 0). */
   def jaro(s1: String, s2: String): Double = {
     val len1 = s1.length
@@ -23,8 +57,12 @@ object StringSim {
     if (len1 == 0 || len2 == 0) return 0.0
     if (s1 == s2) return 1.0
     val window = math.max(math.max(len1, len2) / 2 - 1, 0)
-    val m1 = new Array[Boolean](len1)
-    val m2 = new Array[Boolean](len2)
+    val sc = scratch.get()
+    sc.boolCap(math.max(len1, len2))
+    val m1 = sc.m1
+    val m2 = sc.m2
+    java.util.Arrays.fill(m1, 0, len1, false)
+    java.util.Arrays.fill(m2, 0, len2, false)
     var matches = 0
     var i = 0
     while (i < len1) {
@@ -93,44 +131,50 @@ object StringSim {
   }
 
   /** Myers/Hyyro bit-parallel edit distance; p is the (shorter)
-    * pattern, t the text. Exact for any lengths (blocked). */
+    * pattern, t the text. Exact for any lengths (blocked). Uses the
+    * thread-local flat Peq table (ASCII fast path; map fallback for
+    * other chars) — zeroed back slot-exactly on exit, so the
+    * between-calls all-zero invariant holds at any block count. */
   def myers(p: String, t: String): Int = {
     val m = p.length
     val n = t.length
     val bl = (m + 63) >>> 6
-    // Peq bitmasks; ASCII fast path + map fallback for other chars
-    val peqAscii = Array.ofDim[Long](128, bl)
+    val sc = scratch.get()
+    sc.myersCap(bl)
+    val peq = sc.peq // flat [c * bl + b], all-zero on entry
     var other: java.util.HashMap[Character, Array[Long]] = null
     var i = 0
     while (i < m) {
       val c = p.charAt(i)
-      val arr =
-        if (c < 128) peqAscii(c)
-        else {
-          if (other == null) other = new java.util.HashMap()
-          var a0 = other.get(c)
-          if (a0 == null) { a0 = new Array[Long](bl); other.put(c, a0) }
-          a0
-        }
-      arr(i >>> 6) |= 1L << (i & 63)
+      if (c < 128) peq(c * bl + (i >>> 6)) |= 1L << (i & 63)
+      else {
+        if (other == null) other = new java.util.HashMap()
+        var a0 = other.get(c)
+        if (a0 == null) { a0 = new Array[Long](bl); other.put(c, a0) }
+        a0(i >>> 6) |= 1L << (i & 63)
+      }
       i += 1
     }
-    val vp = Array.fill(bl)(-1L)
-    val vn = new Array[Long](bl)
+    val vp = sc.vp
+    val vn = sc.vn
+    java.util.Arrays.fill(vp, 0, bl, -1L)
+    java.util.Arrays.fill(vn, 0, bl, 0L)
     var score = m
     val lastMask = 1L << ((m - 1) & 63)
     val last = bl - 1
     var j = 0
     while (j < n) {
       val c = t.charAt(j)
-      val peqC =
-        if (c < 128) peqAscii(c)
-        else if (other == null) null
-        else other.get(c)
+      val peqOff = if (c < 128) c * bl else -1
+      val peqOther =
+        if (c >= 128 && other != null) other.get(c) else null
       var hin = 1
       var b = 0
       while (b < bl) {
-        var eq = if (peqC == null) 0L else peqC(b)
+        var eq =
+          if (peqOff >= 0) peq(peqOff + b)
+          else if (peqOther != null) peqOther(b)
+          else 0L
         val pv = vp(b)
         val mv = vn(b)
         val xv = eq | mv
@@ -155,6 +199,13 @@ object StringSim {
         b += 1
       }
       j += 1
+    }
+    // restore the all-zero invariant: clear exactly the slots set above
+    i = 0
+    while (i < m) {
+      val c = p.charAt(i)
+      if (c < 128) peq(c * bl + (i >>> 6)) = 0L
+      i += 1
     }
     score
   }
