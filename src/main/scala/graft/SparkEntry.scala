@@ -149,6 +149,8 @@ object SparkEntry {
       sim.MTransE.eval(s, d, sim.MTransE.Config(evolve = true))),
     // --- Structured Streaming (windowed agg over `events`) ---
     "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
+    // stateful incremental linkage (flatMapGroupsWithState per block)
+    "stream_link_pairs" -> ((s, d) => streaming.StreamOps.streamLinkPairs(s, d)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---
     "mm_binary_meta" -> ((s, d) => ops.Multimodal.binaryMeta(s, d)),
     "mm_decode_features" -> ((s, d) => ops.Multimodal.decodeFeatures(s, d))
@@ -201,6 +203,7 @@ object SparkEntry {
     "ann_ivf_topk" -> oracle.OracleSqlOps.annIvfTopK,
     "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
+    "stream_link_pairs" -> OracleSql.streamLinkPairs,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,
     "mm_decode_features" -> oracle.OracleSqlOps.mmDecodeFeatures
   )

@@ -390,6 +390,13 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
       .mkString("\n    UNION ALL\n    ")}""")
   }
 
+  /** Streaming linkage emits exactly the same-block A×B pairs above the
+    * JW threshold (set semantics are arrival-order-independent), so the
+    * batch join IS the oracle. Threshold literal must match
+    * [[graft.streaming.StreamOps.streamLinkPairs]]'s default. */
+  val streamLinkPairs: String = q(
+    "SELECT idA, idB, jw FROM feats WHERE jw >= 0.9")
+
   val harmonizeLang: String = q(
     """SELECT f.family AS family, CAST(COUNT(*) AS BIGINT) AS n
        FROM records r

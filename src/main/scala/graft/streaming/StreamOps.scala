@@ -2,7 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** One record flowing through the streaming linkage operator. */
+case class LinkRec(id: Long, side: String, content: String, block_key: String)
+
+/** A matched pair emitted by the streaming linkage operator. */
+case class LinkedPair(idA: Long, idB: Long, jw: Double)
+
+/** Per-block state: the records of each side seen so far (insertion
+  * order; oldest first, so a cap evicts the oldest). */
+case class LinkState(a: List[(Long, String)], b: List[(Long, String)])
 
 /**
  * Structured Streaming operators over the `events` table
@@ -84,5 +95,86 @@ object StreamOps {
     try q2.processAllAvailable() finally q2.stop()
     spark.read.parquet(outDir.toString)
       .filter(col("event_type") =!= "__drain__")
+  }
+
+  /**
+   * Incremental (streaming) record linkage via
+   * `flatMapGroupsWithState`: records arrive as a stream, are routed to
+   * their block (`groupByKey(block_key)` — blocking IS the state
+   * partitioning), and each new arrival is scored against the opposite
+   * side's records held in per-block state; pairs with
+   * `jaroWinkler >= minJw` are emitted exactly once — when the later of
+   * the two records arrives. Over a bounded stream the emitted SET
+   * equals the batch result (all same-block A×B pairs above the
+   * threshold) regardless of arrival order, which is what the DuckDB
+   * oracle checks (`stream_link_pairs`).
+   *
+   * Scale shape: state lives in the executor state store, partitioned
+   * by block key — O(block members within the retention policy), never
+   * global. In production the retention policy bounds it: either
+   * `maxPerSide` (keep the newest K per side, evicting oldest — the
+   * recall-for-memory trade every streaming ER system makes on hot
+   * blocks) or a timeout-based TTL; the bounded-test default keeps
+   * everything so the oracle equality is exact. Batch values are
+   * processed in id order so re-runs are deterministic even when the
+   * source splits input across tasks.
+   */
+  def streamingLink(records: org.apache.spark.sql.Dataset[LinkRec],
+                    minJw: Double,
+                    maxPerSide: Int = Int.MaxValue): DataFrame = {
+    import records.sparkSession.implicits._
+    def cap(xs: List[(Long, String)]): List[(Long, String)] =
+      if (xs.length > maxPerSide) xs.drop(xs.length - maxPerSide) else xs
+    records
+      .groupByKey(_.block_key)
+      .flatMapGroupsWithState[LinkState, LinkedPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[LinkRec], state: GroupState[LinkState]) =>
+          var st = state.getOption.getOrElse(LinkState(Nil, Nil))
+          val out = List.newBuilder[LinkedPair]
+          rows.toArray.sortBy(_.id).foreach { r =>
+            if (r.side == "A") {
+              st.b.foreach { case (bid, bc) =>
+                val jw = graft.functions.StringSim.jaroWinkler(r.content, bc)
+                if (jw >= minJw) out += LinkedPair(r.id, bid, jw)
+              }
+              st = st.copy(a = cap(st.a :+ (r.id -> r.content)))
+            } else {
+              st.a.foreach { case (aid, ac) =>
+                val jw = graft.functions.StringSim.jaroWinkler(ac, r.content)
+                if (jw >= minJw) out += LinkedPair(aid, r.id, jw)
+              }
+              st = st.copy(b = cap(st.b :+ (r.id -> r.content)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** Driver-query wrapper: stage the keyed records as a file stream,
+    * run [[streamingLink]] to completion, read the sink back. */
+  def streamLinkPairs(spark: SparkSession, sfDir: String,
+                      minJw: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-slink-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-slink-out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-slink-ckpt")
+    graft.EntryStages.keyed(spark, sfDir)
+      .select(col("id"), col("side"), col("content_norm").as("content"),
+        col("block_key"))
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val stream = spark.readStream
+      .schema("id BIGINT, side STRING, content STRING, block_key STRING")
+      .parquet(srcDir.toString)
+      .as[LinkRec]
+    val q = streamingLink(stream, minJw).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckptDir.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir.toString)
   }
 }

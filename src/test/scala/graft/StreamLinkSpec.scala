@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{LinkRec, StreamOps}
+
+/**
+ * Streaming incremental linkage (flatMapGroupsWithState per block):
+ * over a bounded stream the emitted pair SET must equal the batch
+ * blocking-join result above the same threshold — the same equivalence
+ * the driver's DuckDB oracle (`stream_link_pairs`) checks at sf0.01.
+ */
+class StreamLinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bounded stream emits exactly the batch pair set above threshold") {
+    val streamed = StreamOps.streamLinkPairs(spark, SparkTestSession.sf0001)
+      .select("idA", "idB", "jw").as[(Long, Long, Double)].collect().toSet
+    val batch = EntryStages.scoredp(spark, SparkTestSession.sf0001)
+      .filter(col("jw") >= 0.9)
+      .select("idA", "idB", "jw").as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("maxPerSide cap keeps the newest records (hot-block memory bound)") {
+    val srcDir = Files.createTempDirectory("graft-slink-cap").toString
+    // one block; two A records arrive before the B record
+    Seq(
+      LinkRec(2L, "A", "match content one", "blk"),
+      LinkRec(4L, "A", "match content two", "blk"),
+      LinkRec(5L, "B", "match content two", "blk"))
+      .toDS().write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("id BIGINT, side STRING, content STRING, block_key STRING")
+      .parquet(srcDir).as[LinkRec]
+
+    def run(cap: Int): Set[(Long, Long)] = {
+      val outDir = Files.createTempDirectory("graft-slink-cap-out").toString
+      val ckpt = Files.createTempDirectory("graft-slink-cap-ckpt").toString
+      val q = StreamOps.streamingLink(stream, minJw = 0.0, maxPerSide = cap)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outDir)
+        .select("idA", "idB").as[(Long, Long)].collect().toSet
+    }
+    // uncapped: B scores against both prior A records
+    assert(run(Int.MaxValue) == Set((2L, 5L), (4L, 5L)))
+    // cap 1: oldest A evicted before B arrives — only the newest matches
+    assert(run(1) == Set((4L, 5L)))
+  }
+}
