@@ -27,6 +27,33 @@ class StreamLinkSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("multi-microbatch run (maxFilesPerTrigger=1) emits the same set: state carries across batches") {
+    val srcDir = Files.createTempDirectory("graft-slink-mb").toString
+    // split the source into several files -> several microbatches; pairs
+    // whose two sides land in different batches are matched via state
+    EntryStages.keyed(spark, SparkTestSession.sf0001)
+      .select(col("id"), col("side"), col("content_norm").as("content"),
+        col("block_key"))
+      .repartition(6).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("id BIGINT, side STRING, content STRING, block_key STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .as[graft.streaming.LinkRec]
+    val outDir = Files.createTempDirectory("graft-slink-mb-out").toString
+    val ckpt = Files.createTempDirectory("graft-slink-mb-ckpt").toString
+    val q = StreamOps.streamingLink(stream, minJw = 0.9).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("idA", "idB", "jw").as[(Long, Long, Double)].collect().toSet
+    val batch = EntryStages.scoredp(spark, SparkTestSession.sf0001)
+      .filter(col("jw") >= 0.9)
+      .select("idA", "idB", "jw").as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("maxPerSide cap keeps the newest records (hot-block memory bound)") {
     val srcDir = Files.createTempDirectory("graft-slink-cap").toString
     // one block; two A records arrive before the B record
