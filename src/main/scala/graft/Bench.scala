@@ -229,6 +229,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the PROBE line is formatted with f"%.3f" and parsed by splitting
+    // on ',' — pin the locale so a comma-decimal default can never
+    // silently corrupt the parsed trial times
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.length >= 1 && args(0) == "--probe") {
       probeMain(args(1).toInt, args(2), args(3).toLong, args(4).toInt)
       return
@@ -321,15 +325,20 @@ object Bench {
     // in-run control is therefore the SOFTWARE scaling number.
     def hwCeiling = (baseHigh.max / baseLow.max) / (cpus.toDouble / cpusLow)
     def effVsHw = eff / math.min(1.0, hwCeiling)
-    // Consistency-driven retries: a WARM probe over cached candidates
-    // is never genuinely slower than the same run's COLD main scoring
-    // stage at equal width (clean ratio ~1.2), so probe_vs_main < ~1
-    // means every high fork landed in one of the sandbox's transient
-    // host-contention windows — fork again (time-separated) until a
-    // clean window is sampled. Min over all trials then reads the true
-    // capability; every trial is reported in the JSON.
+    // Consistency-driven retries — gated ONLY on a physically
+    // impossible reading, never on the headline metric itself (that
+    // would be measure-until-it-passes): a WARM probe over cached
+    // candidates is never genuinely slower than the same run's COLD
+    // main scoring stage at equal width (clean ratio ~1.2), so
+    // probe_vs_main < ~1 means every high fork landed in one of the
+    // sandbox's transient host-contention windows — fork again
+    // (time-separated) until a clean window is sampled. Efficiency
+    // shortfalls with a consistent probe are REPORTED AS MEASURED;
+    // the in-fork CPU control (hw_ceiling / efficiency_vs_hw) is what
+    // separates host windowing from software scaling. Every trial of
+    // every fork, including retries, is in the JSON.
     var retries = 0
-    while ((ppsHigh < 1.05 * pairsPerSec || effVsHw < 0.8) && retries < 3) {
+    while (ppsHigh < 1.05 * pairsPerSec && retries < 3) {
       val (_, extraSecs, extraBase) = forkProbe(cpus, sfDir, sampleDen, 4)
       secsHigh = secsHigh ++ extraSecs
       baseHigh = baseHigh ++ extraBase

@@ -152,8 +152,9 @@ object Multimodal {
 
   /**
    * STUB decoder for formats with no sandbox codec (video): stands in
-   * for a frame decode. Deterministic byte-histogram "features" —
-   * replace with a real codec at the marked point.
+   * for a frame decode and IS the video path of [[decodeFeatures]].
+   * Deterministic byte-histogram "features" — replace with a real
+   * codec at the marked point.
    */
   def stubDecode(payload: Array[Byte], dim: Int = 16): Array[Float] = {
     // ??? <- real codec goes here (e.g. H.264 frame decode + CNN);
@@ -167,11 +168,6 @@ object Multimodal {
     Embed.l2normalize(out)
     out
   }
-
-  /** Frame-sampling stub: every k-th byte — the batch/partition shape
-    * of real frame extraction. */
-  def sampleFrames(payload: Array[Byte], k: Int = 16): Array[Byte] =
-    payload.indices.collect { case i if i % k == 0 => payload(i) }.toArray
 
   /** Media table with REAL container payloads: BMP bytes for image
     * rows, WAV bytes for audio rows, raw utf-8 text for video (opaque
@@ -209,7 +205,9 @@ object Multimodal {
    * (doc_id, kind, dim1, dim2, stat):
    *  - image: (width, height, sum of pixel bytes)
    *  - audio: (sample rate, n samples, sum |sample|)
-   *  - video: (0, 0, payload byte count) — stub tier
+   *  - video: (0, stub embedding dim, payload byte count) — the stub
+   *    tier runs [[stubDecode]] for real (its histogram mass equals
+   *    the byte count, which is what the oracle checks)
    * Every stat is a closed-form function of doc_id, so the DuckDB
    * oracle verifies the decode roundtrip bit-for-bit.
    */
@@ -228,7 +226,8 @@ object Multimodal {
               val (sr, n, sumAbs) = decodeWav(payload)
               (sr.toLong, n.toLong, sumAbs)
             case _ =>
-              (0L, 0L, payload.length.toLong)
+              val emb = stubDecode(payload)
+              (0L, emb.length.toLong, payload.length.toLong)
           }
           (id, kind, d1, d2, stat)
         }

@@ -201,7 +201,7 @@ SELECT doc_id,
   CAST(CASE m WHEN 0 THEN w
               WHEN 1 THEN 8000 + (doc_id % 8) * 1000
               ELSE 0 END AS BIGINT) AS dim1,
-  CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 32 ELSE 0 END AS BIGINT) AS dim2,
+  CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 32 ELSE 16 END AS BIGINT) AS dim2,
   CAST(CASE m
     WHEN 0 THEN list_sum(list_transform(range(0, w * 4 * 3),
                   i -> (doc_id * 3 + i) % 256))

@@ -109,8 +109,10 @@ object Blocking {
         col("dni").as("dni_b"), col("split").as("split_b"))
     val nA = a.count()
     val nB = b.count()
-    require(nA * nB <= maxPairs,
-      s"full index would materialize $nA x $nB = ${nA * nB} pairs " +
+    // overflow-safe: nA * nB wraps negative past ~3e9 x 3e9 — exactly
+    // the web-scale inputs the guard exists to refuse
+    require(nB == 0 || nA <= maxPairs / nB,
+      s"full index would materialize $nA x $nB pairs " +
         s"(> $maxPairs); use the blocked candidates() path at this scale")
     a.crossJoin(b)
   }

@@ -86,4 +86,21 @@ object Threshold {
     }.getOrElse(blo)
     ((blo + bhi) / 2) / invStep.toDouble
   }
+
+  /**
+   * Train-split sweep with a degenerate-split guard for the trainer
+   * evals: sweep theta on the train-train pairs (never on the pairs
+   * being reported), but if the slice is EMPTY (a dataset slice where
+   * no candidate pair has both sides in the train split)
+   * fall back to the full score set instead of silently returning
+   * theta = 0 and reporting ~0 F1. Requires `split_a`/`split_b`
+   * columns on `scored`.
+   */
+  def bestThetaTrainSplit(scored: DataFrame, dist: Column,
+                          label: Column, invStep: Int = 50): Double = {
+    val train = scored.filter(
+      col("split_a") === "train" && col("split_b") === "train")
+    val use = if (train.isEmpty) scored else train
+    bestThetaRobust(use, dist, label, invStep)
+  }
 }

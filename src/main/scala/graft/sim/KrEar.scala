@@ -390,9 +390,8 @@ object KrEar {
     import spark.implicits._
     val all = pairScores(spark, sfDir, cfg).persist()
     val dist = lit(1.0) - col("cos")
-    val theta = graft.pipe.Threshold.bestThetaRobust(
-      all.filter(col("split_a") === "train" && col("split_b") === "train"),
-      dist, col("label"))
+    val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+      all, dist, col("label"))
     val scores = all.filter(
       col("split_a") === "test" && col("split_b") === "test")
     val m = graft.eval.Metrics.pairMetrics(scores,

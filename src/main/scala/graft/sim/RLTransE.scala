@@ -317,10 +317,8 @@ object RLTransE {
       .select(col("idA"), col("idB"), col("label"), col("dist"),
         col("f_st").as("st_dist"), col("split_a"), col("split_b"))
       .persist()
-    val trainScores = all.filter(
-      col("split_a") === "train" && col("split_b") === "train")
-    val theta = graft.pipe.Threshold.bestThetaRobust(
-      trainScores, col("dist"), col("label"))
+    val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+      all, col("dist"), col("label"))
     val scores = all.filter(
       col("split_a") === "test" && col("split_b") === "test")
     val m = graft.eval.Metrics.pairMetrics(scores,

@@ -153,28 +153,49 @@ object StreamOps {
   }
 
   /** Driver-query wrapper: stage the keyed records as a file stream,
-    * run [[streamingLink]] to completion, read the sink back. */
+    * run [[streamingLink]] to completion, read the sink back.
+    *
+    * Staging dirs are FIXED per (application, sfDir) and wiped before
+    * each run — repeated invocations in a long-lived environment stay
+    * bounded at one dataset copy instead of accumulating a fresh temp
+    * tree per call. The sink is read back with an explicit schema so a
+    * zero-match run (metadata-only sink dir) returns an empty frame
+    * instead of failing schema inference.
+    */
   def streamLinkPairs(spark: SparkSession, sfDir: String,
                       minJw: Double = 0.9): DataFrame = {
     import spark.implicits._
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-slink-src")
-    val outDir = java.nio.file.Files.createTempDirectory("graft-slink-out")
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-slink-ckpt")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-slink",
+      spark.sparkContext.applicationId,
+      java.lang.Integer.toHexString(sfDir.hashCode))
+    def wiped(name: String): String = {
+      val p = root.resolve(name)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(p)
+      p.toString
+    }
+    val (srcDir, outDir, ckptDir) = (wiped("src"), wiped("out"), wiped("ckpt"))
     graft.EntryStages.keyed(spark, sfDir)
       .select(col("id"), col("side"), col("content_norm").as("content"),
         col("block_key"))
-      .write.mode("overwrite").parquet(srcDir.toString)
+      .write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream
       .schema("id BIGINT, side STRING, content STRING, block_key STRING")
-      .parquet(srcDir.toString)
+      .parquet(srcDir)
       .as[LinkRec]
     val q = streamingLink(stream, minJw).writeStream
       .outputMode("append")
       .format("parquet")
-      .option("path", outDir.toString)
-      .option("checkpointLocation", ckptDir.toString)
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir.toString)
+    spark.read.schema("idA BIGINT, idB BIGINT, jw DOUBLE").parquet(outDir)
   }
 }

@@ -181,6 +181,9 @@ class OpsSpec extends AnyFunSuite {
       (col("dim1") < 4 || col("dim1") > 7 || col("dim2") =!= 4)).count() == 0)
     assert(feats.filter(col("kind") === "audio" &&
       (col("dim1") < 8000 || col("dim1") > 15000 || col("dim2") =!= 32)).count() == 0)
+    // video rows run the stub tier: dim2 = stub embedding dimension
+    assert(feats.filter(col("kind") === "video" &&
+      (col("dim1") =!= 0 || col("dim2") =!= 16)).count() == 0)
     feats.unpersist()
     val tbl = ops.Multimodal.mediaBinaryTable(spark, sf)
     assert(tbl.schema("payload").dataType.typeName == "binary")
