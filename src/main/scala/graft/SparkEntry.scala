@@ -204,6 +204,8 @@ object SparkEntry {
     "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
     "stream_link_pairs" -> OracleSql.streamLinkPairs,
+    "fs_ecm_patterns" -> OracleSql.fsEcmPatterns,
+    "fs_ecm_metrics" -> OracleSql.fsEcmMetrics,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,
     "mm_decode_features" -> oracle.OracleSqlOps.mmDecodeFeatures
   )

@@ -390,6 +390,106 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
       .mkString("\n    UNION ALL\n    ")}""")
   }
 
+  // ---- ECM (Fellegi-Sunter EM) oracle: the EM loop over the <= 32-row
+  // pattern histogram, UNROLLED as generated chained CTEs (standard SQL
+  // forbids aggregates in a recursive term; the histogram is tiny so
+  // unrolled aggregation CTEs are cheap). Mirrors
+  // graft.ml.Classifiers.{withFeatures, fitEcm, EcmModel.posterior}
+  // bit for bit: same init (p=0.1, m=0.9, u=0.1), same clamps, same
+  // posterior formula. The oracle unrolls 120 iterations vs fitEcm's
+  // fixed 200: the clamped EM FREEZES bit-exactly (params reproduce
+  // themselves) at iteration 6 on sf0.001 and 84 on sf0.01 (measured),
+  // so any count past the freeze point yields the identical fixpoint —
+  // and 200 unrolled CTEs exceed DuckDB's parser tree-depth cap.
+
+  private val EcmIters = 120
+  private val EcmBits = Seq(16, 8, 4, 2, 1) // f0..f4 pack weights
+
+  /** feats rows -> binary comparators -> packed pattern (= withFeatures). */
+  private val ecmPatternCte = """, fpat AS MATERIALIZED (
+      SELECT CAST(
+          CASE WHEN content_a = content_b THEN 16 ELSE 0 END
+        + CASE WHEN jw >= 0.85 THEN 8 ELSE 0 END
+        + CASE WHEN lev >= 0.9 THEN 4 ELSE 0 END
+        + CASE WHEN jw >= 0.95 THEN 2 ELSE 0 END
+        + CASE WHEN lev >= 0.75 THEN 1 ELSE 0 END AS INT) AS pattern,
+        label, split_a, split_b
+      FROM feats
+    ), hist AS MATERIALIZED (
+      SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fpat GROUP BY pattern
+    ), tot AS MATERIALIZED (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM hist)"""
+
+  private def ecmProd(pCol: String, ms: Int => String): String =
+    pCol + EcmBits.zipWithIndex.map { case (bit, i) =>
+      s" * (CASE WHEN (pattern & $bit) > 0 THEN ${ms(i)} ELSE 1 - ${ms(i)} END)"
+    }.mkString
+
+  /** Per-pattern posterior weights under iteration-k params (w${k+1}). */
+  private def ecmWCte(k: Int): String = {
+    val pm = ecmProd(s"it.p", i => s"it.m$i")
+    val pu = ecmProd(s"(1 - it.p)", i => s"it.u$i")
+    s""", w${k + 1} AS MATERIALIZED (
+      SELECT pattern, n,
+        CASE WHEN pm + pu = 0 THEN 0.0 ELSE pm / (pm + pu) END AS w
+      FROM (SELECT h.pattern, h.n, $pm AS pm, $pu AS pu
+            FROM hist h, it$k it) x
+    )"""
+  }
+
+  /** M-step: fold w${k+1} into the iteration-(k+1) params. */
+  private def ecmItCte(k: Int): String = {
+    val mCols = EcmBits.zipWithIndex.map { case (bit, i) =>
+      s"least(greatest(SUM(CASE WHEN (pattern & $bit) > 0 THEN w * n ELSE 0 END) / SUM(w * n), 1e-9), 1 - 1e-9) AS m$i"
+    }.mkString(",\n        ")
+    val uCols = EcmBits.zipWithIndex.map { case (bit, i) =>
+      s"least(greatest(SUM(CASE WHEN (pattern & $bit) > 0 THEN (1 - w) * n ELSE 0 END) / SUM((1 - w) * n), 1e-9), 1 - 1e-9) AS u$i"
+    }.mkString(",\n        ")
+    s""", it${k + 1} AS MATERIALIZED (
+      SELECT least(greatest(SUM(w * n) / (SELECT total FROM tot), 1e-9), 1 - 1e-9) AS p,
+        $mCols,
+        $uCols
+      FROM w${k + 1}
+    )"""
+  }
+
+  private def ecmChain: String = {
+    val init = s""", it0 AS (SELECT 0.1 AS p,
+      ${EcmBits.indices.map(i => s"0.9 AS m$i").mkString(", ")},
+      ${EcmBits.indices.map(i => s"0.1 AS u$i").mkString(", ")})"""
+    // the trailing w CTE (no it after it) is the posterior of the FINAL
+    // params — mirrors ecmPatterns calling posterior() after the loop
+    ecmPatternCte + init +
+      (0 until EcmIters).map(k => ecmWCte(k) + ecmItCte(k)).mkString +
+      ecmWCte(EcmIters)
+  }
+
+  val fsEcmPatterns: String = q(ecmChain + s"""
+    SELECT pattern, n,
+      CAST(round(w * 1000000) AS BIGINT) AS posterior_micros,
+      CAST(CASE WHEN w >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS predicted_match
+    FROM w${EcmIters + 1}""")
+
+  val fsEcmMetrics: String = q(ecmChain + s""", mpat AS (
+      SELECT pattern FROM w${EcmIters + 1} WHERE w >= 0.5
+    ), testf AS (
+      SELECT CASE WHEN pattern IN (SELECT pattern FROM mpat) THEN 1 ELSE 0 END AS pred,
+             label
+      FROM fpat WHERE split_a = 'test' AND split_b = 'test'
+    ), conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM testf)
+    SELECT tp, fp, fn, tn,
+      CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+      CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+      CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+      (tp + tn) / (tp + fp + fn + tn) AS accuracy
+    FROM conf""")
+
   /** Streaming linkage emits exactly the same-block A×B pairs above the
     * JW threshold (set semantics are arrival-order-independent), so the
     * batch join IS the oracle. Threshold literal must match
