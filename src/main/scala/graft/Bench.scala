@@ -309,16 +309,21 @@ object Bench {
       w -> (rs.head._2._1, rs.flatMap(_._2._2), rs.flatMap(_._2._3))
     }
     // Estimator stabilization — applied SYMMETRICALLY to both widths
-    // and gated only on the estimate still descending, never on the
+    // and gated only on the estimate's convergence, never on the
     // metric: the host's contention is bursty at the seconds scale, so
-    // a min-of-trials estimate is only trustworthy once an additional
-    // time-separated fork stops improving it (>5%). Bounded at 2 extra
-    // forks per width.
+    // a min-of-trials estimate is only trustworthy once time-separated
+    // forks agree. If the width's two initial forks' minima already
+    // agree within 5%, the estimate is stable and no extra fork runs;
+    // otherwise fork again (bounded at +2) until the overall min stops
+    // improving by >5%.
+    def forkMins(w: Int): Seq[Double] =
+      forks.collect { case (`w`, (_, s, _)) => s.min }
     def stabilize(width: Int, trials: Int, secs0: Seq[Double],
                   base0: Seq[Double]): (Seq[Double], Seq[Double]) = {
       var secs = secs0; var base = base0
       var extra = 0
-      var improving = true
+      val m = forkMins(width)
+      var improving = m.min < 0.95 * m.max
       while (improving && extra < 2) {
         val prevMin = secs.min
         val (_, s2, b2) = forkProbe(width, sfDir, sampleDen, trials)
