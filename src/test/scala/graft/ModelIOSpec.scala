@@ -51,6 +51,26 @@ class ModelIOSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("TransE model round-trips bit-exactly through parquet") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-model-te").toString
+    val ents = graft.graph.GraphBuild.erEntities(spark, SparkTestSession.sf0001)
+    val triples = graft.graph.GraphBuild.erTriples(spark, SparkTestSession.sf0001)
+      .withColumn("idx", col("h") * 2654435761L + col("t"))
+    val trained = graft.sim.TransE.train(spark, triples, ents.count().toInt,
+      graft.graph.GraphBuild.Relations.size, graft.sim.TransE.Config(epochs = 2))
+    ModelIO.saveTransE(spark, dir, trained, "fp-te")
+    val restored = ModelIO.loadTransE(spark, dir)
+    assert(restored.lossByEpoch.toSeq == trained.lossByEpoch.toSeq)
+    assert(restored.ent.indices.forall(i =>
+      java.util.Arrays.equals(restored.ent(i), trained.ent(i))))
+    assert(restored.rel.indices.forall(i =>
+      java.util.Arrays.equals(restored.rel(i), trained.rel(i))))
+    assert(restored.wRel.indices.forall(i =>
+      java.util.Arrays.equals(restored.wRel(i), trained.wRel(i))))
+    assert(ModelIO.savedFingerprint(dir).contains("fp-te"))
+  }
+
   test("rlTransEOrTrain restores on fingerprint match, retrains on change") {
     val dir = Files.createTempDirectory("graft-model").toString
     val (m1, fromDisk1) =
