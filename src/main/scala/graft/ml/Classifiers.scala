@@ -61,7 +61,15 @@ object Classifiers {
    * split of work at any scale (/root/reference cites
    * recordlinkage.ECMClassifier; iterations fixed for determinism).
    */
-  def fitEcm(features: DataFrame, iters: Int = 200): EcmModel = {
+  /** Fixed EM iteration count, single-sourced with the DuckDB oracle
+    * (OracleSql.EcmIters) so BOTH engines run the identical number of
+    * M-steps — no freeze-point assumption needed for the compare. 120
+    * is past the measured bit-exact freeze at every gated SF (6 at
+    * sf0.001, 84 at sf0.01) and is what DuckDB's parser depth allows
+    * when unrolled. */
+  final val EcmFitIters = 120
+
+  def fitEcm(features: DataFrame, iters: Int = EcmFitIters): EcmModel = {
     val hist = features.groupBy("pattern").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = hist.map(_._2).sum.toDouble

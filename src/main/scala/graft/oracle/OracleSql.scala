@@ -396,13 +396,21 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
   // unrolled aggregation CTEs are cheap). Mirrors
   // graft.ml.Classifiers.{withFeatures, fitEcm, EcmModel.posterior}
   // bit for bit: same init (p=0.1, m=0.9, u=0.1), same clamps, same
-  // posterior formula. The oracle unrolls 120 iterations vs fitEcm's
-  // fixed 200: the clamped EM FREEZES bit-exactly (params reproduce
-  // themselves) at iteration 6 on sf0.001 and 84 on sf0.01 (measured),
-  // so any count past the freeze point yields the identical fixpoint —
-  // and 200 unrolled CTEs exceed DuckDB's parser tree-depth cap.
+  // posterior formula, and the SAME iteration count (single-sourced
+  // from Classifiers.EcmFitIters — 200 unrolled CTEs would exceed
+  // DuckDB's parser tree-depth cap, so both engines run 120).
+  //
+  // Float discipline note: the M-step SUMs over the histogram run in
+  // each engine's own row order — the one deliberate exception to this
+  // file's no-float-SUM rule. It is safe here because the clamped EM
+  // reaches a bit-exact FREEZE (params reproduce themselves) well
+  // before iteration 120 at every gated SF (measured: iter 6 at
+  // sf0.001, 84 at sf0.01); at the frozen fixpoint the posteriors are
+  // saturated against the 1e-9 clamps, so a last-ulp summation-order
+  // difference mid-convergence cannot survive to the compared output
+  // (verified exact at both SFs).
 
-  private val EcmIters = 120
+  private val EcmIters = graft.ml.Classifiers.EcmFitIters
   private val EcmBits = Seq(16, 8, 4, 2, 1) // f0..f4 pack weights
 
   /** feats rows -> binary comparators -> packed pattern (= withFeatures). */
