@@ -303,8 +303,13 @@ object Bench {
     // the ~1.5s fixed per-pass overhead (which would otherwise cap the
     // measurable efficiency), small enough for 2x2 forks x trials.
     val sampleDen = math.max(1L, math.round(nPairs / 1.5e6))
-    val forks = Seq(cpusLow -> 2, cpus -> 4, cpus -> 4, cpusLow -> 2)
-      .map { case (w, t) => w -> forkProbe(w, sfDir, sampleDen, t) }
+    // SYMMETRIC budgets (round 4): identical fork count AND trials per
+    // fork at both widths — the round-3 2-vs-4 trial split gave the min
+    // estimator more draws at the high width, biasing efficiency
+    // upward by construction.
+    val trialsPerFork = 3
+    val forks = Seq(cpusLow, cpus, cpus, cpusLow)
+      .map(w => w -> forkProbe(w, sfDir, sampleDen, trialsPerFork))
     val byWidth = forks.groupBy(_._1).map { case (w, rs) =>
       w -> (rs.head._2._1, rs.flatMap(_._2._2), rs.flatMap(_._2._3))
     }
@@ -318,7 +323,7 @@ object Bench {
     // improving by >5%.
     def forkMins(w: Int): Seq[Double] =
       forks.collect { case (`w`, (_, s, _)) => s.min }
-    def stabilize(width: Int, trials: Int, secs0: Seq[Double],
+    def stabilize(width: Int, secs0: Seq[Double],
                   base0: Seq[Double]): (Seq[Double], Seq[Double]) = {
       var secs = secs0; var base = base0
       var extra = 0
@@ -326,7 +331,7 @@ object Bench {
       var improving = m.min < 0.95 * m.max
       while (improving && extra < 2) {
         val prevMin = secs.min
-        val (_, s2, b2) = forkProbe(width, sfDir, sampleDen, trials)
+        val (_, s2, b2) = forkProbe(width, sfDir, sampleDen, trialsPerFork)
         secs = secs ++ s2; base = base ++ b2
         improving = secs.min < 0.95 * prevMin
         extra += 1
@@ -335,10 +340,16 @@ object Bench {
     }
     val (nSampled, secsLow0, baseLow0) = byWidth(cpusLow)
     val (_, secsHighBase, baseHighBase) = byWidth(cpus)
-    val (secsLow, baseLow) = stabilize(cpusLow, 2, secsLow0, baseLow0)
-    var (secsHigh, baseHigh) = stabilize(cpus, 4, secsHighBase, baseHighBase)
+    // Initial-forks-only efficiency: the two symmetric opening forks
+    // per width, BEFORE any stabilization or consistency retry — makes
+    // the retries' contribution to the headline visible in the artifact.
+    val efficiencyInitial =
+      ((nSampled / secsHighBase.min) / (nSampled / secsLow0.min)) /
+        (cpus.toDouble / cpusLow)
+    var (secsLow, baseLow) = stabilize(cpusLow, secsLow0, baseLow0)
+    var (secsHigh, baseHigh) = stabilize(cpus, secsHighBase, baseHighBase)
     var ppsHigh = nSampled / secsHigh.min
-    val ppsLow = nSampled / secsLow.min
+    def ppsLow = nSampled / secsLow.min
     def eff = (ppsHigh / ppsLow) / (cpus.toDouble / cpusLow)
     // Hardware ceiling: the Spark-free CPU control's own width-to-width
     // scaling, measured in the SAME forks. On this sandbox VM an
@@ -349,7 +360,15 @@ object Bench {
     // sockets). efficiency_vs_hw = raw efficiency normalized by this
     // in-run control is therefore the SOFTWARE scaling number.
     def hwCeiling = (baseHigh.max / baseLow.max) / (cpus.toDouble / cpusLow)
-    def effVsHw = eff / math.min(1.0, hwCeiling)
+    // Uncapped divisor (round 4): normalizing by the control's raw
+    // scaling — a ceiling > 1.0 (the control caught a faster window at
+    // the wide width) now LOWERS the quotient instead of being clamped
+    // to 1.0, so the normalization is two-sided. The REPORTED
+    // efficiency_vs_hw is capped at 1.0 per the documented
+    // interpretation ("no software-scaling loss detectable" is the
+    // strongest claim the probe can make); the uncapped quotient ships
+    // alongside it for transparency.
+    def effVsHw = eff / hwCeiling
     // Consistency-driven retries — gated ONLY on a physically
     // impossible reading, never on the headline metric itself (that
     // would be measure-until-it-passes): a WARM probe over cached
@@ -362,16 +381,21 @@ object Bench {
     // the in-fork CPU control (hw_ceiling / efficiency_vs_hw) is what
     // separates host windowing from software scaling. Every trial of
     // every fork, including retries, is in the JSON.
+    // Round 4: each retry forks BOTH widths — round 3 appended only
+    // high-width forks, so the min at the high width was taken over
+    // ~2.5x more samples than the low width, biasing efficiency upward.
     var retries = 0
     while (ppsHigh < 1.05 * pairsPerSec && retries < 3) {
-      val (_, extraSecs, extraBase) = forkProbe(cpus, sfDir, sampleDen, 4)
-      secsHigh = secsHigh ++ extraSecs
-      baseHigh = baseHigh ++ extraBase
+      val (_, hs, hb) = forkProbe(cpus, sfDir, sampleDen, trialsPerFork)
+      secsHigh = secsHigh ++ hs; baseHigh = baseHigh ++ hb
+      val (_, ls, lb) = forkProbe(cpusLow, sfDir, sampleDen, trialsPerFork)
+      secsLow = secsLow ++ ls; baseLow = baseLow ++ lb
       ppsHigh = nSampled / secsHigh.min
       retries += 1
     }
     val efficiency = eff
-    val efficiencyVsHw = effVsHw
+    val efficiencyVsHwUncapped = effVsHw
+    val efficiencyVsHw = math.min(1.0, efficiencyVsHwUncapped)
     val hwCeil = hwCeiling
     val probeVsMain = ppsHigh / pairsPerSec
 
@@ -391,7 +415,9 @@ object Bench {
       f""""probe_vs_main":$probeVsMain%.3f,""" +
       s""""base_gops_low":${arr(baseLow)},"base_gops_high":${arr(baseHigh)},""" +
       f""""hw_ceiling":$hwCeil%.3f,""" +
+      f""""efficiency_initial":$efficiencyInitial%.3f,""" +
       f""""efficiency":$efficiency%.3f,""" +
+      f""""efficiency_vs_hw_uncapped":$efficiencyVsHwUncapped%.3f,""" +
       f""""efficiency_vs_hw":$efficiencyVsHw%.3f}}""")
   }
 }

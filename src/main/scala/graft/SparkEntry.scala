@@ -119,9 +119,16 @@ object SparkEntry {
     "veer_metrics" -> ((s, d) => ml.Weights.veerMetrics(s, d)),
     "werl_weights" -> ((s, d) => ml.Weights.werlWeights(s, d)),
     "werl_metrics" -> ((s, d) => ml.Weights.werlMetrics(s, d)),
+    // unweighted WERL variants (reference werl.py test_merl /
+    // test_without_weight): mean of the frozen per-field channels
+    "werl_merl_metrics" -> ((s, d) => ml.Weights.merlMetrics(s, d)),
+    "werl_noweight_metrics" -> ((s, d) => ml.Weights.noweightMetrics(s, d)),
     // --- Hungarian assignment + negative sampler (SURVEY §2.7, §2.9) ---
     "block_assignment" -> ((s, d) => ops.Assignment.blockAssignment(s, d)),
     "negative_samples" -> ((s, d) => sim.NegativeSampler.sample(s, d)),
+    // triple-level corruption with neg_rel_rate (relation replacement,
+    // true-triple rejection — /root/reference/common.py:72-129)
+    "negative_triples" -> ((s, d) => sim.NegativeSampler.sampleTriples(s, d)),
     // --- SEEA-style iterative mutual-NN self-learning (SURVEY §2.9) ---
     "seea_pairs" -> ((s, d) => ops.Seea.iterate(s, d)),
     // --- TransE trainer + graph-embedding linkage eval (SURVEY §2.9) ---
@@ -138,12 +145,32 @@ object SparkEntry {
         eval.GridSearch.grid("dim" -> Seq(8.0, 16.0), "epochs" -> Seq(30.0)),
         p => sim.RLTransE.eval(s, d, sim.RLTransE.Config(
           dim = p("dim").toInt, epochs = p("epochs").toInt)))),
+    // TransE grid with the reference's neg_rel_rate axis
+    // (/root/reference/tests/er/test_transe.py:90-121)
+    "grid_transe" -> ((s, d) =>
+      eval.GridSearch.sweep(s,
+        eval.GridSearch.grid("dim" -> Seq(8.0, 16.0),
+          "neg_rel_rate" -> Seq(0.0, 1.0)),
+        p => sim.TransE.eval(s, d, sim.TransE.Config(
+          dim = p("dim").toInt,
+          negRelRate = p("neg_rel_rate").toInt)))),
+    // VEER grid (/root/reference/tests/test_veer.py:100-133): the
+    // trainer's regularization x iteration axes over ONE scoring pass
+    "grid_veer" -> ((s, d) =>
+      eval.GridSearch.sweep(s,
+        eval.GridSearch.grid("reg" -> Seq(0.001, 0.1),
+          "max_iter" -> Seq(25.0, 100.0)),
+        p => ml.Weights.veerEval(s, d, p("reg"), p("max_iter").toInt))),
     // --- KR-EAR: relational + attributional dual-encoder (EAR graph) ---
     "krear_eval" -> ((s, d) => sim.KrEar.eval(s, d)),
     // --- ERER dual-KG: prior pairs, joint same_as merge, MTransE/ETransE ---
     "graph_erer_prior_pairs" -> ((s, d) => graph.GraphBuild.priorPairs(s, d)),
     "graph_erer_joint_triples" -> ((s, d) =>
       graph.GraphBuild.ererJointTriples(s, d)),
+    // per-side disjoint KGs (each with its own dense dictionary) —
+    // completes the JAPE-style dual-KG export surface
+    "graph_erer_triples_a" -> ((s, d) => graph.GraphBuild.ererTriples(s, d, "A")),
+    "graph_erer_triples_b" -> ((s, d) => graph.GraphBuild.ererTriples(s, d, "B")),
     "mtranse_eval" -> ((s, d) => sim.MTransE.eval(s, d)),
     "etranse_eval" -> ((s, d) =>
       sim.MTransE.eval(s, d, sim.MTransE.Config(evolve = true))),
@@ -151,6 +178,10 @@ object SparkEntry {
     "stream_windowed" -> ((s, d) => streaming.StreamOps.windowedCounts(s, d)),
     // stateful incremental linkage (flatMapGroupsWithState per block)
     "stream_link_pairs" -> ((s, d) => streaming.StreamOps.streamLinkPairs(s, d)),
+    // newest-K per-side state retention (eviction under the driver:
+    // the hot block exceeds the cap at sf>=0.01)
+    "stream_link_pairs_capped" -> ((s, d) => streaming.StreamOps
+      .streamLinkPairs(s, d, maxPerSide = streaming.StreamOps.CappedMaxPerSide)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---
     "mm_binary_meta" -> ((s, d) => ops.Multimodal.binaryMeta(s, d)),
     "mm_decode_features" -> ((s, d) => ops.Multimodal.decodeFeatures(s, d))
@@ -182,6 +213,8 @@ object SparkEntry {
     "graph_ear_triples" -> OracleSql.graphEarTriples,
     "graph_erer_prior_pairs" -> OracleSql.graphErerPriorPairs,
     "graph_erer_joint_triples" -> OracleSql.graphErerJointTriples,
+    "graph_erer_triples_a" -> OracleSql.graphErerTriplesA,
+    "graph_erer_triples_b" -> OracleSql.graphErerTriplesB,
     "graph_veg_triples" -> OracleSql.graphVegTriples,
     "graph_veg_train_triples" -> OracleSql.graphVegTrainTriples,
     "mutual_nn" -> OracleSql.mutualNn,
@@ -204,6 +237,7 @@ object SparkEntry {
     "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
     "stream_link_pairs" -> OracleSql.streamLinkPairs,
+    "stream_link_pairs_capped" -> OracleSql.streamLinkPairsCapped,
     "fs_ecm_patterns" -> OracleSql.fsEcmPatterns,
     "fs_ecm_metrics" -> OracleSql.fsEcmMetrics,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,

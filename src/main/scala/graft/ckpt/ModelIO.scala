@@ -72,6 +72,21 @@ object ModelIO {
   }
 
   private def writeMeta(dir: String, fields: Map[String, String]): Unit = {
+    // The reader is a flat one-line key/value regex that stops a value
+    // at the first ',' or '}' and strips outer quotes — a value
+    // containing those characters would round-trip CORRUPTED (e.g. a
+    // truncated fingerprint silently defeating the restore gate).
+    // Reject such values at write time so a non-conforming field fails
+    // loudly here instead.
+    fields.foreach { case (k, v) =>
+      val inner =
+        if (v.length >= 2 && v.head == '"' && v.last == '"')
+          v.substring(1, v.length - 1)
+        else v
+      require(!inner.exists(c => c == ',' || c == '}' || c == '"'),
+        s"meta field '$k' contains ',', '}' or an inner '\"' — not " +
+          s"representable in flat meta.json (value: $v)")
+    }
     val json = fields.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     Files.createDirectories(Paths.get(dir))

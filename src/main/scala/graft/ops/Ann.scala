@@ -119,21 +119,34 @@ object Ann {
       }
     }.toDF("vec_id", "embedding", "table", "sig")
     val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("table"), col("sig"))
+      .select(col("vec_id").as("query_id"), col("table"), col("sig"))
     // corpus side shuffled-hash: it grows with the data (the query
-    // side is the bounded one, but the JOIN keys are the buckets)
-    val cands = q.join(bucketed.hint("shuffle_hash"), Seq("table", "sig"))
+    // side is the bounded one, but the JOIN keys are the buckets).
+    // The cross-table DEDUP exchanges BARE ID PAIRS — a pair collides
+    // in up to `tables` buckets, and shuffling its two dim-wide
+    // vectors once per collision made the distinct the widest exchange
+    // of the query; embeddings are re-attached AFTER dedup (query side
+    // broadcast — it is bounded; corpus side one hash join).
+    val candIds = q
+      .join(bucketed.select(col("table"), col("sig"), col("vec_id"))
+        .hint("shuffle_hash"), Seq("table", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-        col("embedding")).distinct()
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val emb = vecs.toDF().select(col("vec_id"), col("embedding"))
+    val cands = candIds
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv"))
     import spark.implicits._
     val scored = cands
       .as[(Long, Array[Float], Long, Array[Float])]
       .mapPartitions(_.map { case (qid, qv, nid, nv) =>
         (qid, nid, Embed.cosine(qv, nv))
       }).toDF("query_id", "neighbor_id", "cos")
-      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

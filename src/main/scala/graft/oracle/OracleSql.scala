@@ -294,18 +294,36 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
   val topkFpReadable: String =
     readableSql("label = 0 AND dist <= (SELECT theta FROM best)")
 
-  private val rawtCte = ", rawt AS (\n" +
+  /** rawt + per-scope dense entity dictionary; `where` restricts the
+    * record universe (ERER's per-side disjoint KGs use side filters,
+    * /root/reference/ERER/model.py:18-41). */
+  private def rawtCteWhere(where: String): String = ", rawt AS (\n" +
     graft.graph.GraphBuild.Relations.zipWithIndex.map { case (rel, rid) =>
       s"      SELECT 'r' || CAST(id AS VARCHAR) AS rec, " +
         s"'$rel:' || ${relValSql(rel)} AS value, " +
-        s"CAST($rid AS BIGINT) AS rel_id FROM keyed"
+        s"CAST($rid AS BIGINT) AS rel_id FROM keyed$where"
     }.mkString("\n      UNION ALL\n") + """
     ), ents AS (
       SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS ent_id
       FROM (SELECT rec AS label FROM rawt UNION SELECT value FROM rawt)
     )"""
 
+  private val rawtCte = rawtCteWhere("")
+
+  private val tripleSelect = """
+    SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
+    FROM rawt
+    JOIN ents eh ON eh.label = rawt.rec
+    JOIN ents et ON et.label = rawt.value"""
+
   val graphErEntities: String = q(rawtCte + " SELECT label, ent_id FROM ents")
+
+  /** Per-side ERER triples: side-restricted record universe, the
+    * side's OWN dense dictionary. */
+  val graphErerTriplesA: String =
+    q(rawtCteWhere(" WHERE side = 'A'") + tripleSelect)
+  val graphErerTriplesB: String =
+    q(rawtCteWhere(" WHERE side = 'B'") + tripleSelect)
 
   val graphErTriples: String = q(rawtCte + """
     SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
@@ -504,6 +522,24 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
     * [[graft.streaming.StreamOps.streamLinkPairs]]'s default. */
   val streamLinkPairs: String = q(
     "SELECT idA, idB, jw FROM feats WHERE jw >= 0.9")
+
+  /** Capped streaming linkage (newest-K state per block side): a pair
+    * is emitted iff, when the LATER record (by id — the deterministic
+    * batch processing order, StreamOps.streamingLink sorts each batch
+    * by id) arrives, the earlier record is still among the newest K of
+    * its side — i.e. fewer than K same-side records of that block have
+    * ids strictly between the two. Cap literal single-sourced from
+    * [[graft.streaming.StreamOps.CappedMaxPerSide]]. */
+  val streamLinkPairsCapped: String = q(s"""
+    SELECT f.idA, f.idB, f.jw FROM feats f
+    WHERE f.jw >= 0.9 AND (
+      SELECT COUNT(*) FROM keyed k2
+      WHERE k2.block_key = f.block_key
+        AND ((f.idB > f.idA AND k2.side = 'A'
+                AND k2.id > f.idA AND k2.id < f.idB)
+          OR (f.idA > f.idB AND k2.side = 'B'
+                AND k2.id > f.idB AND k2.id < f.idA))
+    ) < ${graft.streaming.StreamOps.CappedMaxPerSide}""")
 
   val harmonizeLang: String = q(
     """SELECT f.family AS family, CAST(COUNT(*) AS BIGINT) AS n

@@ -90,17 +90,34 @@ object Threshold {
   /**
    * Train-split sweep with a degenerate-split guard for the trainer
    * evals: sweep theta on the train-train pairs (never on the pairs
-   * being reported), but if the slice is EMPTY (a dataset slice where
-   * no candidate pair has both sides in the train split)
-   * fall back to the full score set instead of silently returning
-   * theta = 0 and reporting ~0 F1. Requires `split_a`/`split_b`
-   * columns on `scored`.
+   * being reported). If that slice is EMPTY (a dataset slice where no
+   * candidate pair has both sides in the train split), fall back to
+   * the NON-TEST pairs (train ∪ val on both sides) — never to a set
+   * containing the reported test pairs, which would leak test labels
+   * into threshold selection and inflate the reported test F1. If even
+   * the non-test slice is empty the sweep cannot be done without
+   * leakage: log loudly and sweep the full set so the caller still
+   * gets a number, but the metric is flagged as leaked in the log.
+   * Requires `split_a`/`split_b` columns on `scored`.
    */
   def bestThetaTrainSplit(scored: DataFrame, dist: Column,
                           label: Column, invStep: Int = 50): Double = {
     val train = scored.filter(
       col("split_a") === "train" && col("split_b") === "train")
-    val use = if (train.isEmpty) scored else train
+    val use =
+      if (!train.isEmpty) train
+      else {
+        val nonTest = scored.filter(
+          col("split_a") =!= "test" && col("split_b") =!= "test")
+        if (!nonTest.isEmpty) nonTest
+        else {
+          System.err.println(
+            "[graft] WARN bestThetaTrainSplit: no non-test pairs — " +
+              "sweeping theta on the FULL score set (includes test " +
+              "pairs); treat downstream test metrics as LEAKED")
+          scored
+        }
+      }
     bestThetaRobust(use, dist, label, invStep)
   }
 }

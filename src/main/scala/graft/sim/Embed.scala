@@ -100,4 +100,14 @@ object Embed {
     * abs(1 - cos) (/root/reference/tests/er/test_transe.py:46-51). */
   def cosineDistance(a: Array[Float], b: Array[Float]): Double =
     math.abs(1.0 - cosine(a, b))
+
+  /** Mean elementwise absolute difference — the reference's unweighted
+    * "mean embedding" record distance: np.mean(abs(a + rel - b)) per
+    * field (/root/reference/werl.py:345-349). */
+  def l1Mean(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += math.abs(a(i).toDouble - b(i)); i += 1 }
+    if (a.length == 0) 0.0 else s / a.length
+  }
 }

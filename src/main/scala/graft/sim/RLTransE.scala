@@ -30,10 +30,19 @@ import graft.graph.GraphBuild
  */
 object RLTransE {
 
+  /**
+   * @param maxDriverTriples upper bound on the DISTINCT value-pair
+   *        (offset-triple) count [[trainOn]] will localize for the
+   *        driver-side SGD. The model is vocabulary-sized by design
+   *        (offset value tables) — if a dataset's per-field value
+   *        cardinality approaches the record count, the premise is
+   *        broken and training must fail loudly instead of OOMing the
+   *        driver. Documented in COVERAGE.md.
+   */
   final case class Config(
       dim: Int = 32, epochs: Int = 200, lr: Double = 0.1,
       margin: Double = 1.0, negRate: Int = 8, batchSize: Int = 128,
-      seed: Long = 42L)
+      seed: Long = 42L, maxDriverTriples: Long = 4000000L)
 
   /** Fields scored per pair: every relation except the blocking key
     * (equal by construction within a block), mirroring the reference's
@@ -80,7 +89,17 @@ object RLTransE {
     val vocabDf = vocabulary(vegTrain).persist()
     // the dictionary IS the model's row index: model-sized by
     // construction, so collecting it costs what broadcasting the
-    // embedding matrix already costs.
+    // embedding matrix already costs — GUARDED: if the value
+    // vocabulary is data-sized (per-field cardinality ~ record count),
+    // the offset-table premise is broken and we fail loudly here
+    // instead of OOMing the driver on the collect below.
+    val vocabCount = vocabDf.count()
+    require(vocabCount <= cfg.maxDriverTriples,
+      s"RLTransE value vocabulary has $vocabCount rows, over the " +
+        s"driver-side model bound (${cfg.maxDriverTriples}): per-field " +
+        "value cardinality is data-sized, so the offset-value-table " +
+        "model does not apply — raise Config.maxDriverTriples only if " +
+        "the driver heap is sized for it")
     val vocabRows = vocabDf.collect()
       .map(r => (r.getLong(0).toInt, r.getString(1), r.getLong(2).toInt))
     val vocab = Array.tabulate(nRel) { rid =>
@@ -103,16 +122,24 @@ object RLTransE {
       col("vidx").as("ia"))
     val vb = vocabDf.select(col("r"), col("value").as("val_b"),
       col("vidx").as("ib"))
-    val triples = vegTrain
+    val tripleDf = vegTrain
       .join(va, Seq("r", "val_a")).join(vb, Seq("r", "val_b"))
       .select(
         (col("r") * maxVal + col("ia")).cast("long").as("h"),
         (col("r") * maxVal + col("ib")).cast("long").as("t"),
         col("r").cast("long"))
+      .persist()
+    val tripleCount = tripleDf.count()
+    require(tripleCount <= cfg.maxDriverTriples,
+      s"RLTransE has $tripleCount distinct value-pair triples, over " +
+        s"the driver-side SGD bound (${cfg.maxDriverTriples}): the " +
+        "evolution graph is data-sized, not vocabulary-sized — raise " +
+        "Config.maxDriverTriples only if the driver heap is sized for it")
+    val triples = tripleDf
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
         r.getLong(2).toInt))
       .sortBy(t => (t._3, t._1, t._2)) // deterministic base order
-    vegTrain.unpersist(); vocabDf.unpersist()
+    tripleDf.unpersist(); vegTrain.unpersist(); vocabDf.unpersist()
     val (ent, rel, losses) = sgd(triples, nRel * maxVal, nRel,
       tailRanges, cfg)
     Model(ent, rel, vocab, maxVal, losses)
@@ -225,10 +252,14 @@ object RLTransE {
    * Per-field translated-cosine distances for candidate pairs:
    * (idA, idB, label, f_<rel>...) — one column per scored field. The
    * building block for [[pairScores]] and for WERL's learned
-   * per-column weights.
+   * per-column weights. With `l1 = true` the per-field metric is the
+   * mean elementwise |a + r - b| instead of cosine distance — the
+   * reference's unweighted "mean embedding" record distance
+   * (/root/reference/werl.py:335-358).
    */
   def fieldScores(spark: SparkSession, sfDir: String, model: Model,
-                  testOnly: Boolean = true): DataFrame = {
+                  testOnly: Boolean = true,
+                  l1: Boolean = false): DataFrame = {
     import spark.implicits._
     val keyed = graft.EntryStages.keyed(spark, sfDir)
     def sideFields(idCol: String, prefix: String) =
@@ -272,7 +303,8 @@ object RLTransE {
               val shifted = new Array[Float](ea.length)
               var i = 0
               while (i < ea.length) { shifted(i) = ea(i) + er(i); i += 1 }
-              Embed.cosineDistance(shifted, eb)
+              if (l1) Embed.l1Mean(shifted, eb)
+              else Embed.cosineDistance(shifted, eb)
             }
           }
         f += 1

@@ -37,12 +37,21 @@ object TransE {
    *        without it a frequently-hit relation's vector grows without
    *        bound under full-batch hinge gradients.
    */
+  /**
+   * @param negRelRate RELATION corruptions per triple per epoch on top
+   *        of the `negRate` tail corruptions: a seeded draw of
+   *        `r' != r` whose corrupted triple `(h, t, r')` does not exist
+   *        in the graph (rejection against a broadcast packed-triple
+   *        index) — the reference's `neg_rel_rate`
+   *        (/root/reference/common.py:117-127).
+   */
   final case class Config(
       dim: Int = 16, epochs: Int = 10, lr: Double = 0.1,
       margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
       transH: Boolean = false,
       tailRanges: Option[Array[(Long, Long)]] = None,
-      normalizeRel: Boolean = false)
+      normalizeRel: Boolean = false,
+      negRelRate: Int = 0)
 
   final case class Model(ent: Array[Array[Float]], rel: Array[Array[Float]],
                          wRel: Array[Array[Float]],
@@ -95,6 +104,17 @@ object TransE {
     val data = triples.select(col("h").cast("long"), col("t").cast("long"),
       col("r").cast("long"), col("idx").cast("long"))
       .as[(Long, Long, Long, Long)].repartition(8).localCheckpoint()
+    // Packed-triple rejection index for relation corruption: 8 bytes
+    // per triple, broadcast ONCE for the whole training (the graph is
+    // O(records x fields) — the same order as the entity matrix already
+    // broadcast every epoch).
+    val nEntL0 = nEnt.toLong; val nRelL0 = nRel.toLong
+    val packedTriples: Array[Long] =
+      if (cfg.negRelRate > 0)
+        data.map { case (h, t, r, _) => (h * nRelL0 + r) * nEntL0 + t }
+          .collect().sorted
+      else Array.emptyLongArray
+    val packedB = spark.sparkContext.broadcast(packedTriples)
     val losses = new Array[Double](cfg.epochs)
 
     var epoch = 0
@@ -104,6 +124,7 @@ object TransE {
       val dim = cfg.dim
       val margin = cfg.margin
       val negRate = cfg.negRate
+      val negRelRate = cfg.negRelRate
       val transH = cfg.transH
       val tailRanges = cfg.tailRanges
       val nEntL = nEnt.toLong
@@ -111,6 +132,7 @@ object TransE {
       // per-partition sparse gradients + loss, emitted as micro-unit rows
       val grads = data.mapPartitions { it =>
         val (e, r, wv) = entB.value
+        val sortedPacked = packedB.value
         val acc = new java.util.HashMap[Long, Array[Float]]()
         var loss = 0.0
         def g(id: Long): Array[Float] = {
@@ -202,6 +224,96 @@ object TransE {
             }
             j += 1
           }
+          // relation corruption (neg_rel_rate): (h, t, r') negatives
+          // with r' != r and (h, t, r') not a real triple (seeded
+          // rejection against the broadcast packed index)
+          var jr = 0
+          while (jr < negRelRate && nRelL > 1) {
+            var rNeg = -1L
+            var att = 0
+            while (rNeg < 0 && att < 16) {
+              val d = mix(idx,
+                0x517cc1b727220a95L ^ (ep.toLong * negRelRate + jr) * 31 + att)
+              val c = ((d % nRelL) + nRelL) % nRelL
+              if (c != rl && java.util.Arrays.binarySearch(
+                  sortedPacked, (h * nRelL + c) * nEntL + t) < 0) rNeg = c
+              att += 1
+            }
+            if (rNeg >= 0) {
+              val eh = e(h.toInt); val et = e(t.toInt)
+              val er = r(rl.toInt); val ern = r(rNeg.toInt)
+              if (!transH) {
+                var pos = 0.0; var neg = 0.0
+                var i = 0
+                while (i < dim) {
+                  pos += math.abs(eh(i) + er(i) - et(i))
+                  neg += math.abs(eh(i) + ern(i) - et(i))
+                  i += 1
+                }
+                val l = pos - neg + margin
+                if (l > 0) {
+                  loss += l
+                  val gh = g(h); val gt = g(nEntL + t)
+                  val gr = g(2 * nEntL + rl); val grn = g(2 * nEntL + rNeg)
+                  i = 0
+                  while (i < dim) {
+                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                    val sn = math.signum(eh(i) + ern(i) - et(i)).toFloat
+                    gh(i) += sp - sn; gt(i) -= sp - sn
+                    gr(i) += sp; grn(i) -= sn
+                    i += 1
+                  }
+                }
+              } else {
+                // TransH with relation-corrupted negative: pos uses
+                // (w_r, d_r), neg uses (w_r', d_r') on the SAME (h, t)
+                val w = wv(rl.toInt); val w2 = wv(rNeg.toInt)
+                var wduP = 0.0; var wduN = 0.0
+                var i = 0
+                while (i < dim) {
+                  wduP += w(i) * (eh(i) - et(i))
+                  wduN += w2(i) * (eh(i) - et(i))
+                  i += 1
+                }
+                var pos = 0.0; var neg = 0.0
+                i = 0
+                while (i < dim) {
+                  pos += math.abs(eh(i) - et(i) - wduP * w(i) + er(i))
+                  neg += math.abs(eh(i) - et(i) - wduN * w2(i) + ern(i))
+                  i += 1
+                }
+                val l = pos - neg + margin
+                if (l > 0) {
+                  loss += l
+                  var swP = 0.0; var swN = 0.0
+                  i = 0
+                  while (i < dim) {
+                    swP += math.signum(eh(i) - et(i) - wduP * w(i) + er(i)) * w(i)
+                    swN += math.signum(eh(i) - et(i) - wduN * w2(i) + ern(i)) * w2(i)
+                    i += 1
+                  }
+                  val gh = g(h); val gt = g(nEntL + t)
+                  val gr = g(2 * nEntL + rl); val grn = g(2 * nEntL + rNeg)
+                  val gw = g(2 * nEntL + nRelL + rl)
+                  val gw2 = g(2 * nEntL + nRelL + rNeg)
+                  i = 0
+                  while (i < dim) {
+                    val sp = math.signum(eh(i) - et(i) - wduP * w(i) + er(i))
+                    val sn = math.signum(eh(i) - et(i) - wduN * w2(i) + ern(i))
+                    val projP = (sp - swP * w(i)).toFloat
+                    val projN = (sn - swN * w2(i)).toFloat
+                    gh(i) += projP - projN
+                    gt(i) -= projP - projN
+                    gr(i) += sp.toFloat; grn(i) -= sn.toFloat
+                    gw(i) += (-(swP * (eh(i) - et(i)) + wduP * sp)).toFloat
+                    gw2(i) += (swN * (eh(i) - et(i)) + wduN * sn).toFloat
+                    i += 1
+                  }
+                }
+              }
+            }
+            jr += 1
+          }
         }
         import scala.jdk.CollectionConverters._
         val lossRow = {
@@ -242,12 +354,19 @@ object TransE {
         }
       }
       ent.foreach(Embed.l2normalize)
-      if (cfg.normalizeRel) rel.foreach(Embed.l2normalize)
+      // forced under relation corruption: every relation row receives
+      // a hinge term from EVERY triple of that relation per epoch
+      // (O(triples/nRel) gradients on nRel rows), which diverges
+      // un-normalized — the reference l2-normalizes every relation
+      // lookup (/root/reference/VEG/rltranse.py:93-98)
+      if (cfg.normalizeRel || cfg.negRelRate > 0)
+        rel.foreach(Embed.l2normalize)
       if (cfg.transH) wRel.foreach(Embed.l2normalize)
       entB.destroy()
       epoch += 1
     }
     data.unpersist()
+    packedB.destroy()
     Model(ent, rel, wRel, losses)
   }
 

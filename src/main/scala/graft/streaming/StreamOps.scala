@@ -27,6 +27,11 @@ case class LinkState(a: List[(Long, String)], b: List[(Long, String)])
  */
 object StreamOps {
 
+  /** Per-side state cap for the registered `stream_link_pairs_capped`
+    * query — newest-K retention on the hot block, single-sourced into
+    * the DuckDB oracle ([[graft.oracle.OracleSql.streamLinkPairsCapped]]). */
+  final val CappedMaxPerSide = 64
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -155,31 +160,48 @@ object StreamOps {
   /** Driver-query wrapper: stage the keyed records as a file stream,
     * run [[streamingLink]] to completion, read the sink back.
     *
-    * Staging dirs are FIXED per (application, sfDir) and wiped before
-    * each run — repeated invocations in a long-lived environment stay
+    * Staging dirs are FIXED per (application, sfDir, minJw) and wiped
+    * before each run — repeated invocations in a long-lived environment stay
     * bounded at one dataset copy instead of accumulating a fresh temp
     * tree per call. The sink is read back with an explicit schema so a
     * zero-match run (metadata-only sink dir) returns an empty frame
     * instead of failing schema inference.
     */
+  /** Per-staging-key locks: two concurrent [[streamLinkPairs]] calls
+    * for the SAME sfDir in one application would otherwise wipe each
+    * other's src/out/ckpt trees mid-query. Different sfDirs get
+    * different keys (collision-resistant digest, not String.hashCode)
+    * and so never contend. */
+  private val stagingLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def streamLinkPairs(spark: SparkSession, sfDir: String,
-                      minJw: Double = 0.9): DataFrame = {
+                      minJw: Double = 0.9,
+                      maxPerSide: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    // collision-resistant key: Integer.toHexString(sfDir.hashCode) let
+    // two different sfDirs with colliding hashCodes share (and wipe)
+    // one staging tree
+    val key = graft.ckpt.Checkpoint.fingerprint(
+      "slink", sfDir, minJw.toString, maxPerSide.toString)
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-slink",
-      spark.sparkContext.applicationId,
-      java.lang.Integer.toHexString(sfDir.hashCode))
+      spark.sparkContext.applicationId, key)
     def wiped(name: String): String = {
       val p = root.resolve(name)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(
             java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
       java.nio.file.Files.createDirectories(p)
       p.toString
     }
+    val lock = stagingLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
     val (srcDir, outDir, ckptDir) = (wiped("src"), wiped("out"), wiped("ckpt"))
     graft.EntryStages.keyed(spark, sfDir)
       .select(col("id"), col("side"), col("content_norm").as("content"),
@@ -189,7 +211,7 @@ object StreamOps {
       .schema("id BIGINT, side STRING, content STRING, block_key STRING")
       .parquet(srcDir)
       .as[LinkRec]
-    val q = streamingLink(stream, minJw).writeStream
+    val q = streamingLink(stream, minJw, maxPerSide).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outDir)
@@ -197,5 +219,6 @@ object StreamOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.read.schema("idA BIGINT, idB BIGINT, jw DOUBLE").parquet(outDir)
+    }
   }
 }

@@ -55,6 +55,30 @@ class OpsSpec extends AnyFunSuite {
     assert(neg1.exceptAll(neg2).isEmpty && neg2.exceptAll(neg1).isEmpty)
     // ~negRate per positive
     assert(neg1.count() >= truth.count() * 2)
+    // seeded fair coin: both corruption sides occur, nothing else
+    val kinds = neg1.select("corrupt_kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("head", "tail"))
+  }
+
+  test("triple sampler: corrupted triples never exist in the graph, rel kind present, deterministic") {
+    val t1 = sim.NegativeSampler.sampleTriples(spark, sf)
+    val graphT = graph.GraphBuild.erTriples(spark, sf)
+      .select(col("h").as("h_neg"), col("t").as("t_neg"), col("r").as("r_neg"))
+    // rejection: no emitted corruption may be a real triple
+    assert(t1.join(graphT, Seq("h_neg", "t_neg", "r_neg"), "left_semi")
+      .count() == 0)
+    val kinds = t1.select("corrupt_kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("head", "tail", "rel"))
+    // rel rows corrupt ONLY the relation; ent rows keep it
+    assert(t1.filter(col("corrupt_kind") === "rel" &&
+      (col("h") =!= col("h_neg") || col("t") =!= col("t_neg") ||
+        col("r") === col("r_neg"))).count() == 0)
+    assert(t1.filter(col("corrupt_kind") =!= "rel" &&
+      col("r") =!= col("r_neg")).count() == 0)
+    val t2 = sim.NegativeSampler.sampleTriples(spark, sf)
+    assert(t1.exceptAll(t2).isEmpty && t2.exceptAll(t1).isEmpty)
   }
 
   test("LSH verification intersects only the candidate set") {

@@ -77,4 +77,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("INSET") && !plan.contains(" IN ("),
       s"literal hot-key list inlined into the plan:\n$plan")
   }
+
+  test("LSH cross-table dedup exchanges bare id pairs, not embeddings") {
+    // A colliding pair appears in up to `tables` buckets; the distinct
+    // that dedups them must shuffle TWO LONG COLUMNS, never the two
+    // dim-wide vectors (which round 3 shipped once per collision).
+    for (df <- Seq(ops.Ann.lshTopK(spark, sf),
+                   ops.Dedup.embedLshPairs(spark, sf))) {
+      val plan = executed(df)
+      val distinctExchanges = plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("query_id") && l.contains("neighbor_id") ||
+           l.contains("id1") && l.contains("id2"))).toSeq
+      assert(distinctExchanges.nonEmpty, s"no pair-dedup exchange in:\n$plan")
+      distinctExchanges.foreach { l =>
+        assert(!l.contains("embedding") && !l.contains("qv") &&
+          !l.contains("v1"), s"dedup exchange still carries vectors:\n$l")
+      }
+    }
+  }
 }

@@ -81,4 +81,36 @@ class StreamLinkSpec extends AnyFunSuite {
     // cap 1: oldest A evicted before B arrives — only the newest matches
     assert(run(1) == Set((4L, 5L)))
   }
+
+  test("capped run equals the newest-K oracle formula where eviction fires") {
+    // The driver oracle (`stream_link_pairs_capped`) models newest-K
+    // retention as: emit iff fewer than K same-side records of the
+    // block have ids strictly BETWEEN the pair's two ids. Pin the
+    // streaming implementation to that formula with a cap small enough
+    // (2) that eviction drops a large share of pairs at sf0.001.
+    val sf = SparkTestSession.sf0001
+    val cap = 2
+    val streamed = StreamOps
+      .streamLinkPairs(spark, sf, minJw = 0.0, maxPerSide = cap)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val keyed = EntryStages.keyed(spark, sf)
+      .select(col("id"), col("side"), col("block_key"))
+    val pairs = EntryStages.scoredp(spark, sf)
+      .select("idA", "idB", "block_key")
+    val expected = pairs.as("p").join(keyed.as("k"),
+        col("k.block_key") === col("p.block_key") &&
+          ((col("p.idB") > col("p.idA") && col("k.side") === "A" &&
+            col("k.id") > col("p.idA") && col("k.id") < col("p.idB")) ||
+           (col("p.idA") > col("p.idB") && col("k.side") === "B" &&
+            col("k.id") > col("p.idB") && col("k.id") < col("p.idA"))),
+        "left")
+      .groupBy(col("p.idA").as("idA"), col("p.idB").as("idB"))
+      .agg(count(col("k.id")).as("between_n"))
+      .filter(col("between_n") < cap)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val uncapped = pairs
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(expected.size < uncapped.size, "cap=2 must actually evict")
+    assert(streamed == expected)
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * VEER / WERL weight learners and the unweighted WERL variants
+ * (reference werl.py test_merl / test_without_weight): the variants
+ * must be real classifiers on the frozen RLTransE channels, and the
+ * LEARNED combination must not lose to the unweighted mean by more
+ * than noise. Also pins the train-once memoization: independently
+ * registered queries share one fit per (session, sfDir).
+ */
+class WeightsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  lazy val sf = SparkTestSession.sf0001
+
+  test("MERL and no-weight variants land in a real F1 band on frozen channels") {
+    val merl = ml.Weights.merlMetrics(spark, sf).head()
+    val now = ml.Weights.noweightMetrics(spark, sf).head()
+    val werl = ml.Weights.werlMetrics(spark, sf).head()
+    val (fMerl, fNow, fWerl) = (merl.getAs[Double]("f1"),
+      now.getAs[Double]("f1"), werl.getAs[Double]("f1"))
+    assert(fMerl >= 0.5, s"merl f1 $fMerl")
+    assert(fNow >= 0.5, s"noweight f1 $fNow")
+    // learned weights must not lose to the unweighted mean beyond noise
+    assert(fWerl >= fMerl - 0.1, s"werl $fWerl vs merl $fMerl")
+  }
+
+  test("variant metrics are memoized: repeated calls return the same frame") {
+    val a = ml.Weights.merlMetrics(spark, sf)
+    val b = ml.Weights.merlMetrics(spark, sf)
+    assert(a eq b)
+  }
+
+  test("VEER weights and metrics come from one memoized fit") {
+    val (w1, m1) = ml.Weights.veerWeightsAndMetrics(spark, sf)
+    val (w2, m2) = ml.Weights.veerWeightsAndMetrics(spark, sf)
+    assert((w1 eq w2) && (m1 eq m2))
+    assert(m1.head().getAs[Double]("f1") >= 0.99)
+  }
+
+  test("VEER grid eval carries per-combo MRR and a sane F1") {
+    val row = ml.Weights.veerEval(spark, sf, 0.001, 25).head()
+    assert(row.getAs[Double]("f1") >= 0.99)
+    assert(row.getAs[Double]("mrr") >= 0.9)
+  }
+}
