@@ -28,9 +28,19 @@ import graft.graph.GraphBuild
  */
 object KrEar {
 
+  /**
+   * @param negRelRate RELATION corruptions per triple per epoch, in
+   *        BOTH encoders (the reference passes neg_rel_rate to
+   *        get_negative_samples for the relational AND attributional
+   *        triple sets, /root/reference/EAR/kr_ear.py:31-36): the
+   *        relational branch corrupts `r`, the attributional branch
+   *        corrupts the attribute id `a` (its vector AND hyperplane),
+   *        both rejecting corrupted triples that exist.
+   */
   final case class Config(
       dim: Int = 16, epochs: Int = 8, lr: Double = 0.1,
-      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L)
+      margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
+      negRelRate: Int = 0)
 
   final case class Model(
       ent: Array[Array[Float]], value: Array[Array[Float]],
@@ -129,6 +139,23 @@ object KrEar {
       col("v").cast("long"), col("a").cast("long"))
       .as[(Long, Long, Long)].repartition(8).localCheckpoint()
 
+    // Packed rejection indexes for relation/attribute corruption
+    // (8 bytes/triple, broadcast once — see TransE.train)
+    val nRelL0 = nRel.toLong; val nAttrL0 = nAttr.toLong
+    val nEntL0 = nEnt.toLong; val nValL0 = nVal.toLong
+    val relPacked: Array[Long] =
+      if (cfg.negRelRate > 0)
+        relData.map { case (h, t, r) => (h * nRelL0 + r) * nEntL0 + t }
+          .collect().sorted
+      else Array.emptyLongArray
+    val attrPacked: Array[Long] =
+      if (cfg.negRelRate > 0)
+        attrData.map { case (h, v, a) => (h * nAttrL0 + a) * nValL0 + v }
+          .collect().sorted
+      else Array.emptyLongArray
+    val relPackedB = spark.sparkContext.broadcast(relPacked)
+    val attrPackedB = spark.sparkContext.broadcast(attrPacked)
+
     val relLoss = new Array[Double](cfg.epochs)
     val attrLoss = new Array[Double](cfg.epochs)
 
@@ -167,9 +194,13 @@ object KrEar {
       val nEntL = nEnt.toLong
       val nValL = nVal.toLong
 
+      val negRelRate = cfg.negRelRate
+      val nRelL = nRel.toLong
+      val nAttrL = nAttr.toLong
       // ---- relational encoder: plain TransE over entity space ----
       val relRows = relData.mapPartitions { it =>
         val (e, _, r, _, _) = b.value
+        val relSorted = relPackedB.value
         val acc = new java.util.HashMap[Long, Array[Float]]()
         var loss = 0.0
         def g(id: Long): Array[Float] = {
@@ -178,6 +209,47 @@ object KrEar {
           v
         }
         it.foreach { case (h, t, rl) =>
+          // relation corruption: (h, t, r') with r' != r, rejecting
+          // real triples (seeded, replayable)
+          var jr = 0
+          while (jr < negRelRate && nRelL > 1) {
+            var rNeg = -1L
+            var att = 0
+            while (rNeg < 0 && att < 16) {
+              val d = mix(h * 31 + t,
+                0x27220a95L + (ep.toLong * negRelRate + jr) * 31 + att)
+              val c = ((d % nRelL) + nRelL) % nRelL
+              if (c != rl && java.util.Arrays.binarySearch(
+                  relSorted, (h * nRelL + c) * nEntL + t) < 0) rNeg = c
+              att += 1
+            }
+            if (rNeg >= 0) {
+              val eh = e(h.toInt); val et = e(t.toInt)
+              val er = r(rl.toInt); val ern = r(rNeg.toInt)
+              var pos = 0.0; var neg = 0.0
+              var i = 0
+              while (i < dim) {
+                pos += math.abs(eh(i) + er(i) - et(i))
+                neg += math.abs(eh(i) + ern(i) - et(i))
+                i += 1
+              }
+              val l = pos - neg + margin
+              if (l > 0) {
+                loss += l
+                val gh = g(h); val gt = g(t)
+                val gr = g(offRel + rl); val grn = g(offRel + rNeg)
+                i = 0
+                while (i < dim) {
+                  val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                  val sn = math.signum(eh(i) + ern(i) - et(i)).toFloat
+                  gh(i) += sp - sn; gt(i) -= sp - sn
+                  gr(i) += sp; grn(i) -= sn
+                  i += 1
+                }
+              }
+            }
+            jr += 1
+          }
           var j = 0
           while (j < negRate) {
             val tNeg = {
@@ -259,7 +331,73 @@ object KrEar {
           }
           s
         }
+        // signed gradient of attrScore(e(h), pj(at), av(at), vv(v))
+        // into the accumulators — used by the attribute-corruption
+        // hinge, whose pos and neg terms live on DIFFERENT attribute
+        // hyperplanes (unlike the value-corruption loop below, which
+        // shares one h_proj + a for both terms)
+        def accumAttrGrad(h: Long, at: Long, v: Long, sign: Float): Unit = {
+          val (e, vv, _, av, pj) = b2.value
+          val eh = e(h.toInt); val ev = vv(v.toInt)
+          val ea = av(at.toInt); val nv = pj(at.toInt)
+          val gh = g(h); val gv = g(offVal + v)
+          val ga = g(offAttr + at); val gp = g(offProj + at)
+          var hn = 0.0
+          var i = 0
+          while (i < dim) { hn += eh(i) * nv(i); i += 1 }
+          val gHp = new Array[Float](dim)
+          i = 0
+          while (i < dim) {
+            val hp = eh(i) - hn * nv(i)
+            val z = math.tanh(hp + ea(i))
+            val s = math.signum(z - ev(i))
+            val dz = ((1.0 - z * z) * s).toFloat * sign
+            gHp(i) = dz
+            ga(i) += dz
+            gv(i) += (-s).toFloat * sign
+            i += 1
+          }
+          var gnd = 0.0
+          i = 0
+          while (i < dim) { gnd += gHp(i) * nv(i); i += 1 }
+          i = 0
+          while (i < dim) {
+            gh(i) += (gHp(i) - gnd * nv(i)).toFloat
+            gp(i) += (-(gnd * eh(i) + hn * gHp(i))).toFloat
+            i += 1
+          }
+        }
+        val attrSorted = attrPackedB.value
         it.foreach { case (h, v, at) =>
+          // attribute corruption: (h, v, a') with a' != a — corrupts
+          // the attribute VECTOR and its HYPERPLANE together, rejecting
+          // real (h, v, a') triples
+          var jr = 0
+          while (jr < negRelRate && nAttrL > 1) {
+            var aNeg = -1L
+            var attTry = 0
+            while (aNeg < 0 && attTry < 16) {
+              val d = mix(h * 37 + v,
+                0x5851f42dL + (ep.toLong * negRelRate + jr) * 31 + attTry)
+              val c = ((d % nAttrL) + nAttrL) % nAttrL
+              if (c != at && java.util.Arrays.binarySearch(
+                  attrSorted, (h * nAttrL + c) * nValL + v) < 0) aNeg = c
+              attTry += 1
+            }
+            if (aNeg >= 0) {
+              val (e, vv, _, av, pj) = b2.value
+              val eh = e(h.toInt); val ev = vv(v.toInt)
+              val pos = attrScore(eh, pj(at.toInt), av(at.toInt), ev)
+              val neg = attrScore(eh, pj(aNeg.toInt), av(aNeg.toInt), ev)
+              val l = pos - neg + margin
+              if (l > 0) {
+                loss += l
+                accumAttrGrad(h, at, v, 1.0f)
+                accumAttrGrad(h, aNeg, v, -1.0f)
+              }
+            }
+            jr += 1
+          }
           var j = 0
           while (j < negRate) {
             val vNeg = {
@@ -336,6 +474,13 @@ object KrEar {
       ent.foreach(Embed.l2normalize)
       value.foreach(Embed.l2normalize)
       proj.foreach(Embed.l2normalize)
+      // sphere-project rel/attr rows under relation corruption: each
+      // receives a hinge term from every triple of its relation per
+      // epoch and diverges un-normalized (see TransE.train)
+      if (cfg.negRelRate > 0) {
+        rel.foreach(Embed.l2normalize)
+        attr.foreach(Embed.l2normalize)
+      }
       val tD0 = System.nanoTime()
       b.destroy(); b2.destroy()
       if (sys.env.contains("GRAFT_PROF"))
@@ -343,6 +488,7 @@ object KrEar {
       epoch += 1
     }
     relData.unpersist(); attrData.unpersist()
+    relPackedB.destroy(); attrPackedB.destroy()
     Model(ent, value, rel, attr, proj, relLoss, attrLoss)
   }
 

@@ -28,10 +28,16 @@ import graft.graph.GraphBuild
  */
 object MTransE {
 
+  /**
+   * @param negRelRate relation corruptions per triple per epoch inside
+   *        each per-KG TransE pass (r' != r, rejecting real triples —
+   *        /root/reference/common.py:117-127; the reference passes
+   *        neg_rel_rate to both KGs' samplers).
+   */
   final case class Config(
       dim: Int = 16, epochs: Int = 8, lr: Double = 0.1,
       margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
-      evolve: Boolean = false)
+      evolve: Boolean = false, negRelRate: Int = 0)
 
   final case class Model(
       entA: Array[Array[Float]], entB: Array[Array[Float]],
@@ -104,6 +110,16 @@ object MTransE {
     val dataA = ds(triplesA); val dataB = ds(triplesB)
     val dataAl = ds(aligned)
 
+    // per-side packed rejection indexes for relation corruption
+    val nRelL0 = nRel.toLong
+    def packed(data: Dataset[(Long, Long, Long)], nEnt: Long): Array[Long] =
+      if (cfg.negRelRate > 0)
+        data.map { case (h, t, r) => (h * nRelL0 + r) * nEnt + t }
+          .collect().sorted
+      else Array.emptyLongArray
+    val packedAB = spark.sparkContext.broadcast(
+      (packed(dataA, nEntA.toLong), packed(dataB, nEntB.toLong)))
+
     val losses = new Array[Double](cfg.epochs)
 
     def reduceApply(rows: Dataset[(Long, Array[Long])]): Double = {
@@ -155,6 +171,8 @@ object MTransE {
     while (epoch < cfg.epochs) {
       val ep = epoch
       val negRate = cfg.negRate
+      val negRelRate = cfg.negRelRate
+      val nRelL = nRel.toLong
       val margin = cfg.margin
       val evolve = cfg.evolve
 
@@ -175,7 +193,49 @@ object MTransE {
             if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
             v
           }
+          val sorted =
+            if (side == 0) packedAB.value._1 else packedAB.value._2
           it.foreach { case (h, t, rl) =>
+            // relation corruption: (h, t, r'), rejecting real triples
+            var jr = 0
+            while (jr < negRelRate && nRelL > 1) {
+              var rNeg = -1L
+              var att = 0
+              while (rNeg < 0 && att < 16) {
+                val d = mix(h * 31 + t + side * 131,
+                  0x9e3779b9L + (ep.toLong * negRelRate + jr) * 31 + att)
+                val c = ((d % nRelL) + nRelL) % nRelL
+                if (c != rl && java.util.Arrays.binarySearch(
+                    sorted, (h * nRelL + c) * nEntL + t) < 0) rNeg = c
+                att += 1
+              }
+              if (rNeg >= 0) {
+                val eh = e(h.toInt); val et = e(t.toInt)
+                val er = r(rl.toInt); val ern = r(rNeg.toInt)
+                var pos = 0.0; var neg = 0.0
+                var i = 0
+                while (i < dim) {
+                  pos += math.abs(eh(i) + er(i) - et(i))
+                  neg += math.abs(eh(i) + ern(i) - et(i))
+                  i += 1
+                }
+                val l = pos - neg + margin
+                if (l > 0) {
+                  loss += l
+                  val gh = g(entOff + h); val gt = g(entOff + t)
+                  val gr = g(relOff + rl); val grn = g(relOff + rNeg)
+                  i = 0
+                  while (i < dim) {
+                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
+                    val sn = math.signum(eh(i) + ern(i) - et(i)).toFloat
+                    gh(i) += sp - sn; gt(i) -= sp - sn
+                    gr(i) += sp; grn(i) -= sn
+                    i += 1
+                  }
+                }
+              }
+              jr += 1
+            }
             var j = 0
             while (j < negRate) {
               val d = mix(h * 31 + t + side * 131, ep.toLong * negRate + j)
@@ -219,6 +279,13 @@ object MTransE {
       val lossB = kgPass(dataB, 1)
       entA.foreach(Embed.l2normalize)
       entB.foreach(Embed.l2normalize)
+      // sphere-project relation rows under relation corruption (each
+      // receives a hinge term per same-relation triple per epoch and
+      // diverges un-normalized — see TransE.train)
+      if (cfg.negRelRate > 0) {
+        relA.foreach(Embed.l2normalize)
+        relB.foreach(Embed.l2normalize)
+      }
 
       // --- alignment (+ evolution) pass over (a, b, r) pairs ---
       val bb = spark.sparkContext.broadcast((entA, entB, m, evolveVec))
@@ -321,6 +388,7 @@ object MTransE {
       epoch += 1
     }
     dataA.unpersist(); dataB.unpersist(); dataAl.unpersist()
+    packedAB.destroy()
     Model(entA, entB, relA, relB, m, evolveVec, losses)
   }
 

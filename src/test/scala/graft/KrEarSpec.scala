@@ -32,4 +32,22 @@ class KrEarSpec extends AnyFunSuite {
     assert(row.getAs[Double]("f1") > 0.05, s"krear f1 ${row.get(3)}")
     assert(row.getAs[Double]("mrr") > 0.1)
   }
+
+  test("KR-EAR neg_rel_rate: rel+attr corruption adds bounded hinge terms") {
+    val (entIds, valIds, relT, attrT) = KrEar.prepare(spark, sf)
+    val nEnt = entIds.count().toInt
+    val nVal = valIds.count().toInt
+    val base = KrEar.train(spark, relT, attrT, nEnt, nVal,
+      KrEar.Config(epochs = 4))
+    val m = KrEar.train(spark, relT, attrT, nEnt, nVal,
+      KrEar.Config(epochs = 4, negRelRate = 1))
+    // corruption adds hinge terms from epoch 0, in both encoders
+    assert(m.relLoss.head > base.relLoss.head,
+      s"rel: ${m.relLoss.head} vs ${base.relLoss.head}")
+    assert(m.attrLoss.head > base.attrLoss.head,
+      s"attr: ${m.attrLoss.head} vs ${base.attrLoss.head}")
+    // sphere-projected training stays bounded (no divergence)
+    assert(m.relLoss.last < 5 * m.relLoss.head, m.relLoss.toSeq.toString)
+    assert(m.attrLoss.last < 5 * m.attrLoss.head, m.attrLoss.toSeq.toString)
+  }
 }

@@ -39,4 +39,12 @@ class MTransESpec extends AnyFunSuite {
     assert(evoRow.getAs[Double]("f1") > 0.05, s"etranse f1 ${evoRow.get(4)}")
     assert(evoRow.getAs[Long]("evolve") == 1L)
   }
+
+  test("MTransE neg_rel_rate: per-KG relation corruption, bounded and additive") {
+    val nrr = MTransE.eval(spark, sf,
+      MTransE.Config(epochs = 4, negRelRate = 1)).head()
+    // quality stays in the ERER tier with relation corruption on
+    assert(nrr.getAs[Double]("f1") > 0.05, s"f1 ${nrr.get(4)}")
+    assert(nrr.getAs[Double]("mrr") > 0.1)
+  }
 }
