@@ -230,6 +230,7 @@ object SparkEntry {
     "dedup_shingle_df" -> oracle.OracleSqlOps.shingleDfStats,
     "dedup_ngram_jaccard" -> oracle.OracleSqlOps.ngramJaccard,
     "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
+    "dedup_simhash" -> oracle.OracleSqlOps.dedupSimhash,
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
     "dedup_embed_lsh" -> oracle.OracleSqlOps.dedupEmbedLsh,
     "ann_topk" -> oracle.OracleSqlOps.annTopK,
@@ -240,6 +241,8 @@ object SparkEntry {
     "stream_link_pairs_capped" -> OracleSql.streamLinkPairsCapped,
     "fs_ecm_patterns" -> OracleSql.fsEcmPatterns,
     "fs_ecm_metrics" -> OracleSql.fsEcmMetrics,
+    "negative_samples" -> OracleSql.negativeSamples,
+    "negative_triples" -> OracleSql.negativeTriples,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,
     "mm_decode_features" -> oracle.OracleSqlOps.mmDecodeFeatures
   )

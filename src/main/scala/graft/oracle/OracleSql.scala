@@ -297,13 +297,16 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
   /** rawt + per-scope dense entity dictionary; `where` restricts the
     * record universe (ERER's per-side disjoint KGs use side filters,
     * /root/reference/ERER/model.py:18-41). */
-  private def rawtCteWhere(where: String): String = ", rawt AS (\n" +
+  // rawt and ents MATERIALIZED: every graph oracle references them two
+  // or three times (head/tail dictionary joins + entity count), and an
+  // inlined ents repeats its global row_number sort per reference
+  private def rawtCteWhere(where: String): String = ", rawt AS MATERIALIZED (\n" +
     graft.graph.GraphBuild.Relations.zipWithIndex.map { case (rel, rid) =>
       s"      SELECT 'r' || CAST(id AS VARCHAR) AS rec, " +
         s"'$rel:' || ${relValSql(rel)} AS value, " +
         s"CAST($rid AS BIGINT) AS rel_id FROM keyed$where"
     }.mkString("\n      UNION ALL\n") + """
-    ), ents AS (
+    ), ents AS MATERIALIZED (
       SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS ent_id
       FROM (SELECT rec AS label FROM rawt UNION SELECT value FROM rawt)
     )"""
@@ -548,4 +551,406 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
                     ('rust','native'), ('go','native')) AS f(lang, family)
          ON r.lang = f.lang
        GROUP BY f.family""")
+
+  /** [[graft.sim.NegativeSampler.fnvMix]] as a DuckDB expression over
+    * unsigned-64 HUGEINT operands: the 16 little-endian bytes of x then
+    * y folded through FNV-1a 64-bit, every step mod 2^64 in HUGEINT
+    * (the 8-bit xor is lifted out of the low byte since `h ^ byte`
+    * touches only bits 0-7). */
+  private def fnvMixSql(x: String, y: String): String = {
+    // lambda params deliberately avoid every column name in scope
+    // (a, b, r, rep, h, i, n): they would shadow, not clash, but the
+    // shadowing would be invisible in the generated SQL
+    def bytesOf(v: String) =
+      s"list_transform(range(0, 8), byi -> (($v) // (1::HUGEINT << (8 * byi))) % 256)"
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      list_concat(${bytesOf(x)}, ${bytesOf(y)})),
+      (acc, byt) -> ((acc - acc % 256 + xor((acc % 256)::BIGINT, byt::BIGINT)::HUGEINT)
+        * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+  }
+
+  /** [[fnvMixSql]] unrolled as 4 chained MATERIALIZED CTEs (`<pre>1`
+    * .. `<pre>4`, result in column `<pre>_h` of `<pre>4`), four
+    * byte-folds per layer over whatever columns `src` carries. Same
+    * value, ~1000x cheaper per row: the list_reduce form costs
+    * ~100-300us/row (lambda machinery, and DuckDB only parallelizes
+    * per ~122k-row morsel), the layered form is plain vectorized
+    * HUGEINT arithmetic. The MATERIALIZED layer boundaries are
+    * load-bearing: a fold step references its predecessor 3x, so
+    * textual composition multiplies expression size by 3 per byte —
+    * fine for 4 bytes within a layer (3^4 references to a REAL column
+    * of the previous materialized layer), runaway if the optimizer's
+    * projection-merge were allowed to re-inline all 16 (3^16). Keep
+    * `src` SLIM (scalar key columns only): every layer rewrites the
+    * full row. */
+  /** p^k mod 2^64 for the FNV-1a 64 prime — a run of k zero-byte fold
+    * steps is a pure multiply by p each (xor with 0 is the identity),
+    * and k consecutive multiplies collapse into ONE multiply by p^k. */
+  private val FnvPrimePow: IndexedSeq[BigInt] = {
+    val m = BigInt(1) << 64
+    (0 to 8).map(k => BigInt(0x100000001b3L).modPow(BigInt(k), m))
+  }
+
+  private def fnvMixChain(pre: String, src: String,
+                          x: String, y: String): String =
+    fnvMixChainW(pre, src, x, y, 8, 8)
+
+  /** [[fnvMixChain]] with declared operand byte-widths: `xBytes`
+    * (`yBytes`) is the number of LOW bytes of x (y) that can be
+    * non-zero; the remaining high bytes fold as one collapsed
+    * multiply by p^(8-k) ([[FnvPrimePow]]). Declaring 5 bytes covers
+    * ids < 2^40 (the 10^12-entity scale with headroom); a wider value
+    * would silently diverge, so widths are only narrowed where the
+    * operand is structurally bounded (dense ids, rep/draw counters).
+    *
+    * `yBytes = -1` emits an x-only HALF chain (`fold8(seed, x)` with
+    * no y side at all); `init = Some(col)` seeds the chain from a
+    * per-row column instead of the FNV basis — together they let two
+    * mixes sharing a first operand split the common prefix out and
+    * fold it once (`fnvMix(x, y) = fold8(fold8(basis, x), y)`).
+    *
+    * All mod-2^64 / byte-extract arithmetic is bitmask-and-shift, not
+    * `%`/`//`: DuckDB evaluates HUGEINT `&`/`>>` ~5x faster than
+    * division-family ops, and this chain is the hot loop of the
+    * sampler oracles. */
+  private def fnvMixChainW(pre: String, src: String, x: String, y: String,
+                           xBytes: Int, yBytes: Int,
+                           init: Option[String] = None): String = {
+    // every returned expression is FULLY parenthesized: & and >> bind
+    // looser than +/- in DuckDB, so an unwrapped composition like
+    // `prev - (prev & 255)` would silently re-associate
+    def fold(prev: String, byt: String): String =
+      s"((($prev - ($prev & 255::HUGEINT) + " +
+        s"xor(($prev & 255::HUGEINT)::BIGINT, $byt::BIGINT)::HUGEINT)" +
+        s" * 1099511628211::HUGEINT) & 18446744073709551615::HUGEINT)"
+    // (prev * p^k) mod 2^64 via 32-bit split: p^k mod 2^64 can be close
+    // to 2^64 and prev is unbounded 64-bit, so the naive product would
+    // overflow INT128 (the per-byte fold never does: its multiplier is
+    // the 41-bit prime). Every intermediate here is < 2^65.
+    def mult(prev: String, k: Int): String = {
+      val b = FnvPrimePow(k)
+      val (b1, b0) = (b >> 32, b & 0xffffffffL)
+      val a0 = s"($prev & 4294967295::HUGEINT)"
+      val a1 = s"(($prev >> 32) & 4294967295::HUGEINT)"
+      s"((($a0 * $b0::HUGEINT) + ((($a1 * $b0::HUGEINT) + ($a0 * $b1::HUGEINT))" +
+        s" & 4294967295::HUGEINT) * 4294967296::HUGEINT)" +
+        s" & 18446744073709551615::HUGEINT)"
+    }
+    // op = Left(srcCol, byteIdx) fold; Right(k) collapsed multiply
+    val ops: Seq[Either[(String, Int), Int]] =
+      (0 until xBytes).map(i => Left((x, i))) ++
+        (if (xBytes < 8) Seq(Right(8 - xBytes)) else Nil) ++
+        (if (yBytes < 0) Nil
+         else (0 until yBytes).map(i => Left((y, i))) ++
+           (if (yBytes < 8) Seq(Right(8 - yBytes)) else Nil))
+    // <=4 ops per MATERIALIZED layer: a fold AND a split-multiply each
+    // reference their predecessor 3x, so either triples expression size
+    val layers = {
+      val buf = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer
+          .empty[Either[(String, Int), Int]])
+      ops.foreach { op =>
+        if (buf.last.size >= 4)
+          buf += scala.collection.mutable.ArrayBuffer.empty
+        buf.last += op
+      }
+      buf.map(_.toSeq).toSeq
+    }
+    val p = s"${pre}_h"
+    val sb = new StringBuilder
+    layers.zipWithIndex.foreach { case (layerOps, layer) =>
+      val from = if (layer == 0) src else s"$pre$layer"
+      val seed =
+        if (layer == 0) init.getOrElse("14695981039346656037::HUGEINT") else p
+      val expr = layerOps.foldLeft(seed) {
+        case (e, Left((col, i))) =>
+          fold(s"($e)", s"((($col) >> ${8 * i}) & 255::HUGEINT)")
+        case (e, Right(k)) => mult(s"($e)", k)
+      }
+      val proj = if (layer == 0) "*" else s"* EXCLUDE ($p)"
+      sb ++= s""", $pre${layer + 1} AS MATERIALIZED (
+  SELECT $proj, $expr AS $p FROM $from
+)"""
+    }
+    // downstream references use the fixed name <pre>4
+    if (layers.size != 4)
+      sb ++= s""", ${pre}4 AS (SELECT * FROM $pre${layers.size})"""
+    sb.toString
+  }
+
+  /** Two's-complement view of an unsigned-64 HUGEINT — Scala `Long`
+    * semantics for the sampler's `% length` index arithmetic. */
+  private def signed64(u: String): String =
+    s"""(($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT
+        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"""
+
+  /** Rejection-draw budget for the oracle's unrolled sampler loop. The
+    * Scala sampler draws until it leaves the forbidden set (true
+    * partners of the kept endpoint — a handful of ids out of a whole
+    * block side), so the loop is unbounded in theory but nearly always
+    * stops at r=0; the deepest draw observed at sf0.01 is r=4. 32
+    * budgeted draws give ~8x headroom, and a budget miss produces a
+    * MISSING row (a loud hash mismatch), never a wrong one.
+    *
+    * The unroll is STAGED (draws 0..4, then 5..31 only for the rare
+    * (pair, rep) rows with no accepted draw in stage A): ~6x fewer
+    * hash evaluations than a flat 32-draw expansion, with the same
+    * first-accepted-draw-wins semantics — the stages partition the
+    * draw sequence, so the stage-A winner (min r in 0..4) IS the
+    * global winner whenever one exists, and stage B only ever sees
+    * rows stage A rejected entirely. */
+  private val NegDrawBudget = 32
+  private val NegDrawStageA = 5
+
+  /** One staged draw-expansion for [[negativeSamples]]: expands
+    * `srcCte` (columns block_key, a, b, rep) by draws `lo..hi-1`,
+    * hashes (kept-endpoint, rep*131071+r) through [[fnvMixChainW]]
+    * (5-byte id, 3-byte counter — both structurally bounded), indexes
+    * the block side's sorted-distinct array, rejects forbidden
+    * partners, and picks the first surviving draw per (a, b, rep).
+    * Emits CTEs `<pre>x` (expansion), the chain, `<pre>c` (candidate
+    * join) and `<pre>p` (pick: a, b, rep, nb|na). */
+  private def pairDrawStage(pre: String, srcCte: String, tail: Boolean,
+                            lo: Int, hi: Int): String = {
+    val (hashCol, cnt, enm, idCol, nCol) =
+      if (tail) ("a", "bcnt", "benum", "idB", "nb")
+      else ("b", "acnt", "aenum", "idA", "na")
+    val exp = s"${pre}x"; val cnd = s"${pre}c"
+    val anti =
+      if (tail) s"x.a = $cnd.a AND x.b = $cnd.$nCol"
+      else s"x.b = $cnd.b AND x.a = $cnd.$nCol"
+    val selfNe = if (tail) s"$cnd.$nCol <> $cnd.b" else s"$cnd.$nCol <> $cnd.a"
+    s""", $exp AS (
+  SELECT $srcCte.*, r
+  FROM $srcCte CROSS JOIN (SELECT unnest(range($lo, $hi)) AS r) rr
+)${fnvMixChainW(pre, exp, s"$hashCol::HUGEINT", "(rep * 131071 + r)::HUGEINT", 5, 3)}
+, $cnd AS (
+  SELECT td.a, td.b, td.rep, td.r, be.$idCol AS $nCol FROM (
+    SELECT t.*, CAST(((${signed64(s"${pre}_h")} % n) + n) % n AS BIGINT) AS idx
+    FROM ${pre}4 t JOIN $cnt USING (block_key)) td
+  JOIN $enm be USING (block_key, idx)
+), ${pre}p AS (
+  SELECT a, b, rep, $nCol FROM (
+    SELECT tc.a, tc.b, tc.rep, tc.$nCol,
+      row_number() OVER (PARTITION BY tc.a, tc.b, tc.rep ORDER BY tc.r) AS rn
+    FROM (SELECT $cnd.* FROM $cnd
+          ANTI JOIN truth x ON $anti
+          WHERE $selfNe) tc
+  ) WHERE rn = 1
+)"""
+  }
+
+  /** [[graft.sim.NegativeSampler.sample]] replayed in SQL: the seeded
+    * fair coin (fnvMix parity) picks head vs tail per (pair, rep), the
+    * replacement is drawn from the block side's sorted distinct ids by
+    * signed-mod index, and the first draw outside the forbidden set
+    * wins (`row_number` over the unrolled draws). `forbidden` is
+    * exactly the kept endpoint's true-partner set: the discarded
+    * endpoint is always a member, so the Scala `+ b` / `+ a` is a
+    * no-op and the guard `|side| - |partners| > 0` matches
+    * `bs.length - forbidden.size > 0`. */
+  val negativeSamples: String = q(s""", truth AS MATERIALIZED (
+  SELECT DISTINCT block_key, idA AS a, idB AS b FROM cand WHERE dni_a = dni_b
+), benum AS MATERIALIZED (
+  -- the Scala sampler indexes into the block side's SORTED distinct id
+  -- array; row_number over the same order IS that index (0-based)
+  SELECT block_key, idB,
+    CAST(row_number() OVER (PARTITION BY block_key ORDER BY idB) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT block_key, idB FROM cand)
+), aenum AS MATERIALIZED (
+  SELECT block_key, idA,
+    CAST(row_number() OVER (PARTITION BY block_key ORDER BY idA) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT block_key, idA FROM cand)
+), bcnt AS (
+  SELECT block_key, CAST(COUNT(*) AS BIGINT) AS n FROM benum GROUP BY block_key
+), acnt AS (
+  SELECT block_key, CAST(COUNT(*) AS BIGINT) AS n FROM aenum GROUP BY block_key
+), tb AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS np FROM truth GROUP BY a
+), ta AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS np FROM truth GROUP BY b
+)${fnvMixChainW("nsab", "truth", "a::HUGEINT", "b::HUGEINT", 5, 5)}
+, frep AS (
+  SELECT block_key, a, b, nsab_h AS ab, rep
+  FROM nsab4 CROSS JOIN (SELECT unnest(range(0, 3)) AS rep) reps
+)${fnvMixChainW("nsfl", "frep", "ab", "rep::HUGEINT", 8, 1)}
+, flips AS MATERIALIZED (
+  SELECT block_key, a, b, rep, nsfl_h % 2 = 0 AS is_tail FROM nsfl4
+), tails AS (
+  SELECT f.block_key, f.a, f.b, f.rep
+  FROM flips f JOIN bcnt USING (block_key) JOIN tb ON tb.a = f.a
+  WHERE f.is_tail AND bcnt.n - tb.np > 0
+), heads AS (
+  SELECT f.block_key, f.a, f.b, f.rep
+  FROM flips f JOIN acnt USING (block_key) JOIN ta ON ta.b = f.b
+  WHERE NOT f.is_tail AND acnt.n - ta.np > 0
+)${pairDrawStage("nstda", "tails", tail = true, 0, NegDrawStageA)}
+, tailsb AS (
+  SELECT tails.* FROM tails ANTI JOIN nstdap USING (a, b, rep)
+)${pairDrawStage("nstdb", "tailsb", tail = true, NegDrawStageA, NegDrawBudget)}
+, tpick AS (
+  SELECT a, nb, rep FROM nstdap
+  UNION ALL SELECT a, nb, rep FROM nstdbp
+)${pairDrawStage("nshda", "heads", tail = false, 0, NegDrawStageA)}
+, headsb AS (
+  SELECT heads.* FROM heads ANTI JOIN nshdap USING (a, b, rep)
+)${pairDrawStage("nshdb", "headsb", tail = false, NegDrawStageA, NegDrawBudget)}
+, hpick AS (
+  SELECT na, b, rep FROM nshdap
+  UNION ALL SELECT na, b, rep FROM nshdbp
+)
+SELECT a AS idA, nb AS idB_neg, rep, 'tail' AS corrupt_kind FROM tpick
+UNION ALL
+SELECT na AS idA, b AS idB_neg, rep, 'head' AS corrupt_kind FROM hpick
+ORDER BY idA, idB_neg, rep, corrupt_kind""")
+
+  /** One staged entity-corruption draw-expansion for
+    * [[negativeTriples]]: expands `srcCte` (h, t, r, rep, coin) by
+    * draws `lo..hi-1`, hashes (coin, i) — the draw counter is 1 byte —
+    * indexes the dense entity space, drops self-collisions, rejects
+    * real triples, and picks the first surviving draw per
+    * (h, t, r, rep) into `<pre>p` (h, t, r, rep, coin, cand). */
+  private def tripleEntStage(pre: String, srcCte: String,
+                             lo: Int, hi: Int): String = s""", ${pre}x AS (
+  SELECT $srcCte.h, $srcCte.t, $srcCte.r, $srcCte.rep, $srcCte.coin, dr.i
+  FROM $srcCte CROSS JOIN (SELECT unnest(range($lo, $hi)) AS i) dr
+)${fnvMixChainW(pre, s"${pre}x", "coin", "i::HUGEINT", 8, 1)}
+, ${pre}ce AS (
+  SELECT d.*,
+    CASE WHEN coin % 2 = 0 THEN cand ELSE h END AS ph,
+    CASE WHEN coin % 2 = 0 THEN t ELSE cand END AS pt
+  FROM (
+    SELECT de1.*, CAST(((${signed64(s"${pre}_h")} % ne) + ne) % ne AS BIGINT) AS cand
+    FROM ${pre}4 de1 CROSS JOIN nent) d
+  WHERE CASE WHEN coin % 2 = 0 THEN cand <> h ELSE cand <> t END
+), ${pre}p AS (
+  SELECT h, t, r, rep, coin, cand FROM (
+    SELECT ok1.*, row_number() OVER (PARTITION BY ok1.h, ok1.t, ok1.r, ok1.rep ORDER BY ok1.i) AS rn
+    FROM (
+      SELECT ${pre}ce.* FROM ${pre}ce
+      ANTI JOIN trip x ON x.h = ${pre}ce.ph AND x.t = ${pre}ce.pt AND x.r = ${pre}ce.r) ok1
+  ) WHERE rn = 1
+)"""
+
+  /** Relation-corruption twin of [[tripleEntStage]]: uniform draw over
+    * the `nRel` relation ids, self- and real-triple rejection, first
+    * surviving draw per (h, t, r, rep) into `<pre>p`. */
+  private def tripleRelStage(pre: String, srcCte: String, nRel: Int,
+                             lo: Int, hi: Int): String = s""", ${pre}x AS (
+  SELECT $srcCte.h, $srcCte.t, $srcCte.r, $srcCte.rep, $srcCte.coin, dr.i
+  FROM $srcCte CROSS JOIN (SELECT unnest(range($lo, $hi)) AS i) dr
+)${fnvMixChainW(pre, s"${pre}x", "coin", "i::HUGEINT", 8, 1)}
+, ${pre}cr AS (
+  SELECT dr1.*, CAST(((${signed64(s"${pre}_h")} % $nRel) + $nRel) % $nRel AS BIGINT) AS cand
+  FROM ${pre}4 dr1
+), ${pre}p AS (
+  SELECT h, t, r, rep, cand FROM (
+    SELECT ok1.*, row_number() OVER (PARTITION BY ok1.h, ok1.t, ok1.r, ok1.rep ORDER BY ok1.i) AS rn
+    FROM (
+      SELECT ${pre}cr.* FROM ${pre}cr
+      ANTI JOIN trip x ON x.h = ${pre}cr.h AND x.t = ${pre}cr.t AND x.r = ${pre}cr.cand
+      WHERE ${pre}cr.cand <> ${pre}cr.r) ok1
+  ) WHERE rn = 1
+)"""
+
+  /** [[graft.sim.NegativeSampler.sampleTriples]] replayed in SQL over
+    * the SAME dense-id ER graph the `graph_er_triples` oracle derives
+    * (rawt + row_number dictionary). Three-phase draw unroll: the first
+    * draw (i=0) almost always clears rejection (a uniform entity id
+    * rarely forms a real triple; a uniform relation id collides with
+    * the original at 1/''nRel''), so phase 1 computes only i=0 for
+    * every (triple, rep), stage A unrolls i=1..4 for the leftovers,
+    * and stage B unrolls i=5..31 for the (near-empty) leftovers of
+    * stage A — a small fraction of the fnvMix evaluations of a flat
+    * unroll at the same budget, and a budget miss is a MISSING row
+    * (loud hash mismatch), never a wrong one. Rejection of real
+    * triples is a hash ANTI JOIN against `trip` on the CASE-derived
+    * probe triple — the SQL twin of the sampler's broadcast
+    * packed-index binary search (an OR of two correlated NOT EXISTS
+    * reads the same but cannot be decorrelated and nested-loops over
+    * the graph: 96 s vs ~2 s at sf0.001). */
+  val negativeTriples: String = {
+    val nRel = graft.graph.GraphBuild.Relations.size
+    q(rawtCte + s""", trip AS MATERIALIZED ($tripleSelect
+), nent AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM ents
+), rrent AS (
+  SELECT r, rep, ${fnvMixSql("r::HUGEINT", "rep::HUGEINT")} AS rr
+  FROM (SELECT DISTINCT r FROM trip)
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS rep) reps
+), rrrel AS (
+  SELECT r, rep, ${fnvMixSql("r::HUGEINT", "(1518 + rep)::HUGEINT")} AS rr
+  FROM (SELECT DISTINCT r FROM trip)
+  CROSS JOIN (SELECT unnest(range(0, 1)) AS rep) reps
+)${fnvMixChainW("ntht", "trip", "h::HUGEINT", "t::HUGEINT", 5, 5)}
+${fnvMixChainW("ntpf", "ntht4", "ntht_h", "", 8, -1)}
+, pf AS MATERIALIZED (
+  -- fnvMix(ht, rr) = fold8(fold8(basis, ht), rr): the ht prefix is
+  -- shared by the entity-coin AND relation-coin mixes, so fold it once
+  -- per triple and seed both rr chains from it (init = pfh)
+  SELECT h, t, r, ntpf_h AS pfh FROM ntpf4
+), cesrc AS (
+  SELECT pf.h, pf.t, pf.r, rrent.rep, pf.pfh, rrent.rr FROM pf JOIN rrent USING (r)
+)${fnvMixChainW("ntce", "cesrc", "rr", "", 8, -1, Some("pfh"))}
+, coine AS MATERIALIZED (
+  SELECT h, t, r, rep, ntce_h AS coin FROM ntce4
+), crsrc AS (
+  SELECT pf.h, pf.t, pf.r, rrrel.rep, pf.pfh, rrrel.rr FROM pf JOIN rrrel USING (r)
+)${fnvMixChainW("ntcr", "crsrc", "rr", "", 8, -1, Some("pfh"))}
+, coinr AS MATERIALIZED (
+  SELECT h, t, r, rep, ntcr_h AS coin FROM ntcr4
+)${fnvMixChainW("nted", "coine", "coin", "0::HUGEINT", 8, 0)}
+, ce0 AS (
+  SELECT d.*,
+    CASE WHEN coin % 2 = 0 THEN cand ELSE h END AS ph,
+    CASE WHEN coin % 2 = 0 THEN t ELSE cand END AS pt
+  FROM (
+    SELECT c0.*, CAST(((${signed64("nted_h")} % ne) + ne) % ne AS BIGINT) AS cand
+    FROM nted4 c0 CROSS JOIN nent) d
+  WHERE CASE WHEN coin % 2 = 0 THEN cand <> h ELSE cand <> t END
+), pe0 AS MATERIALIZED (
+  SELECT ce0.h, ce0.t, ce0.r, ce0.rep, ce0.coin, ce0.cand
+  FROM ce0 ANTI JOIN trip x ON x.h = ce0.ph AND x.t = ce0.pt AND x.r = ce0.r
+), fe AS MATERIALIZED (
+  SELECT c.* FROM coine c ANTI JOIN pe0 USING (h, t, r, rep)
+)${tripleEntStage("ntfea", "fe", 1, NegDrawStageA)}
+, feb AS (
+  SELECT fe.* FROM fe ANTI JOIN ntfeap USING (h, t, r, rep)
+)${tripleEntStage("ntfeb", "feb", NegDrawStageA, NegDrawBudget)}
+, pent AS (
+  SELECT h, t, r, rep, coin, cand FROM pe0
+  UNION ALL SELECT h, t, r, rep, coin, cand FROM ntfeap
+  UNION ALL SELECT h, t, r, rep, coin, cand FROM ntfebp
+)${fnvMixChainW("ntrd", "coinr", "coin", "0::HUGEINT", 8, 0)}
+, cr0 AS (
+  SELECT c1.*, CAST(((${signed64("ntrd_h")} % $nRel) + $nRel) % $nRel AS BIGINT) AS cand
+  FROM ntrd4 c1
+), pr0 AS MATERIALIZED (
+  SELECT cr0.h, cr0.t, cr0.r, cr0.rep, cr0.cand
+  FROM cr0 ANTI JOIN trip x ON x.h = cr0.h AND x.t = cr0.t AND x.r = cr0.cand
+  WHERE cr0.cand <> cr0.r
+), fr AS MATERIALIZED (
+  SELECT c.* FROM coinr c ANTI JOIN pr0 USING (h, t, r, rep)
+)${tripleRelStage("ntfra", "fr", nRel, 1, NegDrawStageA)}
+, frb AS (
+  SELECT fr.* FROM fr ANTI JOIN ntfrap USING (h, t, r, rep)
+)${tripleRelStage("ntfrb", "frb", nRel, NegDrawStageA, NegDrawBudget)}
+, prel AS (
+  SELECT h, t, r, rep, cand FROM pr0
+  UNION ALL SELECT h, t, r, rep, cand FROM ntfrap
+  UNION ALL SELECT h, t, r, rep, cand FROM ntfrbp
+)
+SELECT h, t, r,
+  CASE WHEN coin % 2 = 0 THEN cand ELSE h END AS h_neg,
+  CASE WHEN coin % 2 = 0 THEN t ELSE cand END AS t_neg,
+  r AS r_neg,
+  CASE WHEN coin % 2 = 0 THEN 'head' ELSE 'tail' END AS corrupt_kind,
+  rep
+FROM pent
+UNION ALL
+SELECT h, t, r, h AS h_neg, t AS t_neg, cand AS r_neg,
+  'rel' AS corrupt_kind, rep
+FROM prel
+ORDER BY h, t, r, corrupt_kind, rep""")
+  }
 }

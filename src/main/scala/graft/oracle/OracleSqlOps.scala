@@ -141,6 +141,59 @@ JOIN (SELECT doc_id AS doc1, n_sh AS n1 FROM sizes) USING (doc1)
 JOIN (SELECT doc_id AS doc2, n_sh AS n2 FROM sizes) USING (doc2)
 ORDER BY jaccard DESC, doc1, doc2 LIMIT 20"""
 
+  /** [[graft.ops.Dedup.simhash64]]'s per-token FNV-1a 32-bit hash as a
+    * DuckDB `list_reduce`. The Scala kernel folds each UTF-16 char as
+    * two steps (`c & 0xff` then `c >>> 8`); for 7-bit ASCII the second
+    * step xors 0, i.e. is a plain extra multiply — the `ascii_guard`
+    * CTE below THROWS (DuckDB `error()`) on any non-ASCII char, so a
+    * corpus change fails loudly instead of silently diverging. All
+    * intermediates fit BIGINT: (h ^ c) < 2^32 times the FNV prime
+    * (~2^24) < 2^57. */
+  private def fnvTokSql(basis: Long): String =
+    s"""list_reduce(list_prepend($basis::BIGINT,
+      list_transform(range(1, length(tok) + 1), i -> ord(substr(tok, i, 1))::BIGINT)),
+      (h, c) -> ((xor(h, c) * 16777619) % 4294967296 * 16777619) % 4294967296)"""
+
+  /** Brute-force mirror of [[graft.ops.Dedup.simhashPairs]]: the Spark
+    * side buckets by 4x16-bit bands before verifying, but the band
+    * pigeonhole (hamming<=3 differs in at most 3 of 4 bands) makes its
+    * output EQUAL to the exact hamming filter, which is what the oracle
+    * computes — the oracle thereby also re-proves the pigeonhole claim
+    * on every run. Signed-64 composition: the unsigned (hi<<32)|lo sum
+    * is built in HUGEINT and wrapped to BIGINT two's-complement. */
+  val dedupSimhash: String = s"""WITH nd AS (
+  SELECT doc_id, $normText AS t FROM documents
+), toks0 AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM nd
+), toks AS (
+  SELECT doc_id,
+    CASE WHEN tok ~ '^[ -~]*$$' THEN tok
+         ELSE error('dedup_simhash oracle: non-ASCII token; the FNV char fold no longer matches') END AS tok
+  FROM toks0 WHERE tok <> ''
+), th AS (
+  SELECT doc_id,
+    ${fnvTokSql(0x811c9dc5L)} AS hi,
+    ${fnvTokSql(0x9e3779b9L)} AS lo
+  FROM toks
+), bits AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END * 2 - 1) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b
+), sh0 AS (
+  SELECT doc_id, COALESCE(SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0 END), 0) AS u
+  FROM bits GROUP BY doc_id
+), sh AS (
+  SELECT doc_id,
+    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+  FROM sh0
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.ops.Dedup.SimhashMaxHamming}
+ORDER BY hamming ASC, doc1 ASC, doc2 ASC LIMIT 50"""
+
   val dedupEmbedCosine: String = """WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 )

@@ -212,4 +212,14 @@ class OpsSpec extends AnyFunSuite {
     val tbl = ops.Multimodal.mediaBinaryTable(spark, sf)
     assert(tbl.schema("payload").dataType.typeName == "binary")
   }
+
+  test("embedCosine hot-bucket guard fires instead of a quadratic join") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embedCosine(spark, sf, maxBucket = 2L)
+    }
+    assert(ex.getMessage.contains("embedLshPairs"),
+      s"guard message should point at the scale path: ${ex.getMessage}")
+    // and the default bound leaves the test fixture untouched
+    assert(Dedup.embedCosine(spark, sf).count() == 20)
+  }
 }
