@@ -123,6 +123,8 @@ object SparkEntry {
     // test_without_weight): mean of the frozen per-field channels
     "werl_merl_metrics" -> ((s, d) => ml.Weights.merlMetrics(s, d)),
     "werl_noweight_metrics" -> ((s, d) => ml.Weights.noweightMetrics(s, d)),
+    "logistic_rltranse_metrics" ->
+      ((s, d) => ml.Weights.logisticRlTransEMetrics(s, d)),
     // --- Hungarian assignment + negative sampler (SURVEY §2.7, §2.9) ---
     "block_assignment" -> ((s, d) => ops.Assignment.blockAssignment(s, d)),
     "negative_samples" -> ((s, d) => sim.NegativeSampler.sample(s, d)),

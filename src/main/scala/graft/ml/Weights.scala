@@ -196,4 +196,32 @@ object Weights {
     * (/root/reference/werl.py:335-358). */
   def noweightMetrics(spark: SparkSession, sfDir: String): DataFrame =
     unweightedEval(spark, sfDir, "werl_noweight", l1 = true)
+
+  /** Logistic regression over the DIM-WIDE per-field translated
+    * difference vectors of the frozen RLTransE fit (dim x |ScoredRels|
+    * features per pair) — the reference's LogisticRLTransE tier
+    * (/root/reference/tests/test_logistic_rl_transe.py:104-106 fits
+    * recordlinkage.LogisticRegressionClassifier on the train links and
+    * reports the test links). WERL learns 7 scalar-per-field weights;
+    * this tier lets the classifier weight individual embedding
+    * DIMENSIONS. Reuses the one memoized RLTransE fit — no extra
+    * training. */
+  def logisticRlTransEMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    EntryStages.memoModel(spark, sfDir, "logistic_rltranse") {
+      val model = RLTransE.train(spark, sfDir)
+      val feats = RLTransE.fieldDiffFeatures(spark, sfDir, model)
+        .withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(col("features")))
+        .withColumn("label_d", col("label").cast("double"))
+        .persist()
+      val m = fitLr(feats.filter(col("split_a") === "train" &&
+        col("split_b") === "train"))
+      val test = m.transform(feats.filter(col("split_a") === "test" &&
+        col("split_b") === "test"))
+      val metrics = Metrics.pairMetrics(test,
+        (col("prediction") === 1.0).cast("int"), col("label"))
+      val rows = metrics.collect()
+      feats.unpersist()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
+    }
 }

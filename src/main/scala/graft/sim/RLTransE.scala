@@ -320,6 +320,77 @@ object RLTransE {
   }
 
   /**
+   * Dim-wide per-field translated DIFFERENCE VECTORS for candidate
+   * pairs: (idA, idB, label, split_a, split_b, features) with
+   * `features` = the concatenation over [[ScoredRels]] of
+   * `val_a + rel - val_b` (dim doubles per field) — the feature matrix
+   * of the reference's logistic-over-RLTransE tier
+   * (/root/reference/tests/test_logistic_rl_transe.py:60-102).
+   *
+   * Layout deviation, deliberate: the reference `extend`s only
+   * non-equal fields and then `fillna(1)`s the ragged tail, so a
+   * pair's feature POSITIONS depend on which earlier fields matched —
+   * column j is not the same field across rows. Here the layout is
+   * fixed per field: equal values contribute a ZERO block (perfect
+   * match, zero translated difference), out-of-vocabulary values the
+   * reference's all-ones block, so the classifier sees field-aligned
+   * features. Semantics (difference vectors from the frozen fit, ones
+   * for missing vocab), not the ragged-concat artifact, are what the
+   * tier is about.
+   */
+  def fieldDiffFeatures(spark: SparkSession, sfDir: String,
+                        model: Model): DataFrame = {
+    import spark.implicits._
+    val keyed = graft.EntryStages.keyed(spark, sfDir)
+    def sideFields(idCol: String, prefix: String) =
+      keyed.select(Seq(col("id").as(idCol)) ++
+        ScoredRels.map(r => col(r).as(s"$prefix$r")): _*)
+    val cand = graft.EntryStages.cand(spark, sfDir)
+      .select(col("idA"), col("idB"),
+        (col("dni_a") === col("dni_b")).cast("long").as("label"),
+        col("split_a"), col("split_b"))
+      .join(sideFields("idA", "a_"), "idA")
+      .join(sideFields("idB", "b_"), "idB")
+    val relIds = ScoredRels.map(GraphBuild.Relations.indexOf).toArray
+    val bcast = spark.sparkContext.broadcast(
+      (model.ent, model.rel, model.vocab, model.maxValCount))
+    val cols = Seq(col("idA"), col("idB"), col("label"),
+      col("split_a"), col("split_b")) ++
+      ScoredRels.flatMap(r => Seq(col(s"a_$r"), col(s"b_$r")))
+    val nMeta = 5
+    cand.select(cols: _*).map { row =>
+      val (ent, rel, vocab, maxVal) = bcast.value
+      val dim = rel(0).length
+      val out = new Array[Double](relIds.length * dim)
+      var f = 0
+      while (f < relIds.length) {
+        val va = row.getString(nMeta + 2 * f)
+        val vb = row.getString(nMeta + 2 * f + 1)
+        val rid = relIds(f)
+        val off = f * dim
+        if (va != vb) {
+          val ia = vocab(rid).get(va)
+          val ib = vocab(rid).get(vb)
+          if (ia.isEmpty || ib.isEmpty) {
+            java.util.Arrays.fill(out, off, off + dim, 1.0)
+          } else {
+            val ea = ent(rid * maxVal + ia.get)
+            val eb = ent(rid * maxVal + ib.get)
+            val er = rel(rid)
+            var i = 0
+            while (i < dim) {
+              out(off + i) = ea(i).toDouble + er(i) - eb(i); i += 1
+            }
+          }
+        } // equal values: zero block
+        f += 1
+      }
+      (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getString(3), row.getString(4), out)
+    }.toDF("idA", "idB", "label", "split_a", "split_b", "features")
+  }
+
+  /**
    * Per-field translated-cosine scores for the TEST candidate pairs:
    * (idA, idB, label, dist, st_dist). `st_dist` isolates the evolving
    * field — the direct evidence that the trainer learned the

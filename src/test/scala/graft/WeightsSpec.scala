@@ -44,4 +44,14 @@ class WeightsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("f1") >= 0.99)
     assert(row.getAs[Double]("mrr") >= 0.9)
   }
+
+  test("logistic over dim-wide RLTransE difference vectors beats the " +
+      "scalar-channel WERL band and is memoized") {
+    val m1 = ml.Weights.logisticRlTransEMetrics(spark, sf)
+    val f1 = m1.head().getAs[Double]("f1")
+    // 224 field-aligned features from the same frozen fit: must be a
+    // real classifier (WERL's scalar channels land >= 0.5 here)
+    assert(f1 >= 0.5, s"logistic_rltranse f1 $f1")
+    assert(ml.Weights.logisticRlTransEMetrics(spark, sf) eq m1)
+  }
 }
