@@ -188,6 +188,32 @@ object EntryStages {
       .orderBy(col("n_pairs").desc, col("block_key").asc)
       .limit(20)
 
+  /**
+   * North-rule resumability surface, driver-visible: runs the flagship
+   * pipeline through per-stage Parquet checkpoints (lineage columns
+   * `_stage/_run_id/_part_id/_input_fingerprint` in the data, sidecar
+   * meta with row count + wall time) and emits each stage's RECORDED
+   * row count — the oracle recomputes the same counts from SQL, so a
+   * checkpoint that dropped or duplicated rows cannot hash-match.
+   * The root is per-application (a driver run always computes fresh);
+   * the mid-pipeline skip/recompute contract itself is proven by
+   * [[graft.PipelineResumeSpec]].
+   */
+  def ckptLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = memoModel(spark, sfDir, "ckptLineageRoot") {
+      val r = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-" +
+        s"${spark.sparkContext.applicationId}-" +
+        graft.ckpt.Checkpoint.fingerprint(sfDir)
+      Pipeline.run(spark, sfDir, Some(r))
+      r
+    }
+    Seq("keyed", "candidates", "scored", "clusters")
+      .flatMap { st =>
+        graft.ckpt.Checkpoint.meta(root, st).map(m => (st, m("rows").toLong))
+      }.toDF("stage", "n_rows").orderBy("stage")
+  }
+
   def harmonizeLang(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dim = Seq(("scala", "jvm"), ("java", "jvm"), ("python", "script"),

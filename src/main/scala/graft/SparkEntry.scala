@@ -37,8 +37,17 @@ object SparkEntry {
     // --- similarity scoring (SURVEY §2.7) ---
     "pair_features" -> ((s, d) =>
       EntryStages.scoredp(s, d).select("idA", "idB", "jw", "lev", "label")),
+    // the flagship 3-feature scorer (jw + lev + trigram-hash cosine):
+    // cos/score exported micro-rounded so the DuckDB replay of the
+    // FNV-seeded projection + trigram fold hash-matches (raw doubles
+    // differ in summation-order noise ~1e-15)
     "scored_pairs_full" -> ((s, d) =>
-      Scorer.scoreDF(EntryStages.cand(s, d), Scorer.broadcastProjection(s))),
+      Scorer.scoreDF(EntryStages.cand(s, d), Scorer.broadcastProjection(s))
+        .select(col("idA"), col("idB"), col("jw"), col("lev"),
+          round(col("cos") * 1000000.0).cast("long").as("cos_micros"),
+          round(col("score") * 1000000.0).cast("long").as("score_micros"),
+          col("label").cast("long").as("label"),
+          col("split_a"), col("split_b"))),
     // --- threshold sweep / decision (SURVEY §2.4) ---
     "threshold_sweep" -> ((s, d) => EntryStages.sweep(s, d)),
     "threshold_best" -> ((s, d) => EntryStages.bestRow(s, d)),
@@ -81,6 +90,8 @@ object SparkEntry {
         .select(col("idA").as("src"), col("idB").as("dst"))
       Cluster.assign(EntryStages.keyed(s, d).select("id"), edges)
     }),
+    // --- checkpoint / lineage (north rule: resumable mid-pipeline) ---
+    "ckpt_lineage" -> ((s, d) => EntryStages.ckptLineage(s, d)),
     // --- training-data pipeline: text analysis over `documents` ---
     "text_stats" -> ((s, d) => ops.TextOps.textStats(s, d)),
     "lang_id" -> ((s, d) => ops.TextOps.langId(s, d)),
@@ -91,6 +102,8 @@ object SparkEntry {
     "dedup_shingle_df" -> ((s, d) => ops.Dedup.shingleDfStats(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(s, d)),
+    // near-dup clustering: minhash edges -> CC -> canonical + size
+    "dedup_clusters" -> ((s, d) => ops.Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),
     "dedup_embed_cosine" -> ((s, d) => ops.Dedup.embedCosine(s, d)),
     "dedup_embed_lsh" -> ((s, d) => ops.Dedup.embedLshPairs(s, d)),
@@ -102,7 +115,9 @@ object SparkEntry {
     "fs_ecm_patterns" -> ((s, d) => ml.Classifiers.ecmPatterns(s, d)),
     "fs_ecm_metrics" -> ((s, d) => ml.Classifiers.ecmMetrics(s, d)),
     "fs_logreg_metrics" -> ((s, d) => ml.Classifiers.logRegMetrics(s, d)),
+    "fs_logreg_weights" -> ((s, d) => ml.Classifiers.logRegWeights(s, d)),
     "fs_kmeans_metrics" -> ((s, d) => ml.Classifiers.kmeansMetrics(s, d)),
+    "fs_kmeans_centroids" -> ((s, d) => ml.Classifiers.kmeansCentroids(s, d)),
     // --- numeric/gauss comparator + embedding-difference logistic ---
     "gauss_comparator" -> ((s, d) => {
       val e = s.read.parquet(s"$d/embeddings.parquet")
@@ -185,6 +200,8 @@ object SparkEntry {
     "stream_link_pairs_capped" -> ((s, d) => streaming.StreamOps
       .streamLinkPairs(s, d, maxPerSide = streaming.StreamOps.CappedMaxPerSide)),
     // --- multimodal binary columns (decode stubbed; plumbing real) ---
+    "sample_stratified" -> ((s, d) => ops.Sample.stratified(s, d)),
+    "sample_strata_stats" -> ((s, d) => ops.Sample.strataStats(s, d)),
     "mm_binary_meta" -> ((s, d) => ops.Multimodal.binaryMeta(s, d)),
     "mm_decode_features" -> ((s, d) => ops.Multimodal.decodeFeatures(s, d))
   )
@@ -201,12 +218,15 @@ object SparkEntry {
     "full_index_pairs" -> OracleSql.fullIndexPairs,
     "truth_pairs" -> OracleSql.truthPairs,
     "pair_features" -> OracleSql.pairFeatures,
+    "scored_pairs_full" -> OracleSql.scoredPairsFull,
     "threshold_sweep" -> OracleSql.thresholdSweep,
     "threshold_best" -> OracleSql.thresholdBest,
     "match_edges" -> OracleSql.matchEdges,
     "sql_link" -> OracleSql.matchEdges,
     "pair_metrics" -> OracleSql.pairMetrics,
     "cc_clusters" -> OracleSql.ccClusters,
+    "ckpt_lineage" -> OracleSql.ckptLineage,
+    "ann_lsh_topk" -> oracle.OracleSqlOps.annLshTopK,
     "ir_query_facts" -> OracleSql.irQueryFacts,
     "ir_metrics" -> OracleSql.irMetrics,
     "ir_p_at_k" -> OracleSql.irPAtK,
@@ -232,6 +252,7 @@ object SparkEntry {
     "dedup_shingle_df" -> oracle.OracleSqlOps.shingleDfStats,
     "dedup_ngram_jaccard" -> oracle.OracleSqlOps.ngramJaccard,
     "dedup_minhash_lsh" -> oracle.OracleSqlOps.minhashLsh,
+    "dedup_clusters" -> oracle.OracleSqlOps.dedupClusters,
     "dedup_simhash" -> oracle.OracleSqlOps.dedupSimhash,
     "dedup_embed_cosine" -> oracle.OracleSqlOps.dedupEmbedCosine,
     "dedup_embed_lsh" -> oracle.OracleSqlOps.dedupEmbedLsh,
@@ -243,8 +264,14 @@ object SparkEntry {
     "stream_link_pairs_capped" -> OracleSql.streamLinkPairsCapped,
     "fs_ecm_patterns" -> OracleSql.fsEcmPatterns,
     "fs_ecm_metrics" -> OracleSql.fsEcmMetrics,
+    "fs_logreg_metrics" -> OracleSql.fsLogregMetrics,
+    "fs_logreg_weights" -> OracleSql.fsLogregWeights,
+    "fs_kmeans_metrics" -> OracleSql.fsKmeansMetrics,
+    "fs_kmeans_centroids" -> OracleSql.fsKmeansCentroids,
     "negative_samples" -> OracleSql.negativeSamples,
     "negative_triples" -> OracleSql.negativeTriples,
+    "sample_stratified" -> oracle.OracleSqlOps.sampleStratified,
+    "sample_strata_stats" -> oracle.OracleSqlOps.sampleStrataStats,
     "mm_binary_meta" -> oracle.OracleSqlOps.mmBinaryMeta,
     "mm_decode_features" -> oracle.OracleSqlOps.mmDecodeFeatures
   )

@@ -25,6 +25,11 @@ object Checkpoint {
   private def metaPath(root: String, stage: String) =
     Paths.get(s"$root/$stage._meta.json")
 
+  /** The recorded lineage sidecar of a stage (run_id, fingerprint,
+    * rows, wall_ms), if the stage has been checkpointed. */
+  def meta(root: String, stage: String): Option[Map[String, String]] =
+    readMeta(root, stage)
+
   private def readMeta(root: String, stage: String): Option[Map[String, String]] = {
     val p = metaPath(root, stage)
     if (!Files.exists(p)) None
@@ -38,6 +43,14 @@ object Checkpoint {
 
   private def writeMeta(root: String, stage: String,
                         fields: Map[String, String]): Unit = {
+    // same write-time guard as ModelIO.writeMeta: the minimal flat-JSON
+    // reader cannot round-trip these characters, so reject them loudly
+    // here instead of silently corrupting the fingerprint gate later
+    fields.foreach { case (k, v) =>
+      require(!(k + v).exists(c => c == '"' || c == '\\' || c < ' '),
+        s"checkpoint meta field $k contains characters the flat-JSON " +
+          s"reader cannot round-trip: $v")
+    }
     val json = fields.map { case (k, v) => s""""$k": "$v"""" }
       .mkString("{", ", ", "}")
     Files.createDirectories(Paths.get(root))

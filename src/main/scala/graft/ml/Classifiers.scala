@@ -1,8 +1,5 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -130,38 +127,226 @@ object Classifiers {
     Metrics.pairMetrics(EntryStages.testPairs(feats), predicted, col("label"))
   }
 
-  private def withVec(features: DataFrame): DataFrame =
-    features.withColumn("features",
-      org.apache.spark.ml.functions.array_to_vector(array(
-        (0 to 4).map(i => col(s"f$i").cast("double")): _*)))
+  // ---- Deterministic histogram fits (bit-replayable in SQL) --------
+  //
+  // Both supervised baselines below run over the <= 32-bucket pattern
+  // histogram, like fitEcm: one distributed groupBy, then an O(32)
+  // driver loop — the correct work split at any scale, and the whole
+  // fit trajectory is replayable as unrolled DuckDB CTEs so the
+  // trained PARAMETERS (not just downstream counts) are oracle-checked
+  // bit for bit. Two disciplines make the replay exact:
+  //  - nano-quantization: parameters are snapped to a 1e-9 grid after
+  //    every update (floor(x*1e9 + 0.5)/1e9 — identical IEEE ops in
+  //    both engines), absorbing last-ulp differences from each
+  //    engine's own aggregation order / exp kernel before they can
+  //    compound across iterations;
+  //  - fixed evaluation order: every dot product / distance is an
+  //    explicit left-to-right chain over f0..f4, mirrored literally in
+  //    the generated SQL.
 
-  /** Supervised logistic regression (MLlib): train split -> test F1. */
-  def logRegMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val feats = withFeatures(EntryStages.scoredp(spark, sfDir))
-    val train = withVec(EntryStages.trainPairs(feats))
-      .withColumn("label_d", col("label").cast("double"))
-    val lr = new LogisticRegression()
-      .setLabelCol("label_d").setFeaturesCol("features")
-      .setMaxIter(50).setRegParam(0.01).setTol(1e-9)
-    val modelFit = lr.fit(train)
-    val test = modelFit.transform(withVec(EntryStages.testPairs(feats)))
-    Metrics.pairMetrics(test, (col("prediction") === 1.0).cast("int"),
-      col("label"))
+  /** Snap to the 1e-9 grid, half-up — same two IEEE ops as the SQL
+    * `floor(x * 1e9 + 0.5) / 1e9` (math.rint would round half-to-even
+    * and DuckDB round() half-away-from-zero; floor(+0.5) is the one
+    * form both engines express identically for either sign). */
+  @inline private[graft] def q9(x: Double): Double =
+    math.floor(x * 1e9 + 0.5) / 1e9
+
+  private def bitsOf(pattern: Int): Array[Double] = {
+    val b = new Array[Double](NFeatures)
+    var i = 0
+    while (i < NFeatures) {
+      b(i) = ((pattern >> (NFeatures - 1 - i)) & 1).toDouble
+      i += 1
+    }
+    b
   }
 
-  /** Unsupervised k-means (k=2, fixed seed); match cluster = the one
-    * whose centroid is closer to the all-ones vector. */
+  // ---- k-means k=2 --------------------------------------------------
+
+  /** Lloyd iteration count, single-sourced with the DuckDB oracle
+    * (OracleSql.KmIters). On a 32-point space Lloyd's freezes within a
+    * handful of rounds; 30 is comfortably past it at every gated SF. */
+  final val KmFitIters = 30
+
+  /** k=2 centroids; cluster 1 (init 0.95^5) is the match cluster by
+    * construction — the reference classifier's deterministic init
+    * (recordlinkage KMeansClassifier seeds match/nonmatch centroids at
+    * 0.95/0.05, tests/fs/test_kmeans_clustering.py). */
+  final case class KmModel(cm: Array[Double], cu: Array[Double]) {
+    /** squared distances accumulated f0..f4 left-to-right. */
+    def isMatch(pattern: Int): Boolean = {
+      val bits = bitsOf(pattern)
+      var dm = 0.0
+      var du = 0.0
+      var i = 0
+      while (i < NFeatures) {
+        dm += (bits(i) - cm(i)) * (bits(i) - cm(i))
+        du += (bits(i) - cu(i)) * (bits(i) - cu(i))
+        i += 1
+      }
+      dm < du // tie -> non-match, mirrored in SQL
+    }
+  }
+
+  /** Deterministic Lloyd's over the weighted pattern histogram. An
+    * emptied cluster keeps its previous centroid. Centroid means are
+    * ratios of exact integers (n * bit sums), so the only float op per
+    * coordinate is one division — nano-quantized for uniformity with
+    * the logistic fit. */
+  def fitKmeans(hist: Array[(Int, Long)], iters: Int = KmFitIters): KmModel = {
+    var cm = Array.fill(NFeatures)(0.95)
+    var cu = Array.fill(NFeatures)(0.05)
+    var it = 0
+    while (it < iters) {
+      val model = KmModel(cm, cu)
+      var nm = 0L
+      var nu = 0L
+      val sm = Array.fill(NFeatures)(0L)
+      val su = Array.fill(NFeatures)(0L)
+      hist.foreach { case (pat, n) =>
+        val toMatch = model.isMatch(pat)
+        if (toMatch) nm += n else nu += n
+        var i = 0
+        while (i < NFeatures) {
+          val bit = (pat >> (NFeatures - 1 - i)) & 1
+          if (bit == 1) { if (toMatch) sm(i) += n else su(i) += n }
+          i += 1
+        }
+      }
+      cm = Array.tabulate(NFeatures)(i =>
+        if (nm > 0) q9(sm(i).toDouble / nm) else cm(i))
+      cu = Array.tabulate(NFeatures)(i =>
+        if (nu > 0) q9(su(i).toDouble / nu) else cu(i))
+      it += 1
+    }
+    KmModel(cm, cu)
+  }
+
+  private def patternHist(feats: DataFrame): Array[(Int, Long)] =
+    feats.groupBy("pattern").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+
+  private def kmeansFit(spark: SparkSession, sfDir: String): KmModel =
+    EntryStages.memoModel(spark, sfDir, "fs_kmeans") {
+      fitKmeans(patternHist(
+        withFeatures(EntryStages.scoredp(spark, sfDir))))
+    }
+
+  /** Unsupervised k-means (k=2, deterministic 0.95/0.05 init) fit on
+    * ALL candidate pairs; test-split metrics with the match cluster. */
   def kmeansMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = withFeatures(EntryStages.scoredp(spark, sfDir))
-    val all = withVec(feats)
-    val km = new KMeans().setK(2).setSeed(42L).setMaxIter(100)
-      .setFeaturesCol("features")
-    val model = km.fit(all)
-    val ones = Vectors.dense(Array.fill(NFeatures)(1.0))
-    val matchCluster = model.clusterCenters.zipWithIndex
-      .minBy { case (c, _) => Vectors.sqdist(c, ones) }._2
-    val test = model.transform(withVec(EntryStages.testPairs(feats)))
-    Metrics.pairMetrics(test,
-      (col("prediction") === matchCluster).cast("int"), col("label"))
+    val model = kmeansFit(spark, sfDir)
+    val matchPatterns = (0 until (1 << NFeatures)).filter(model.isMatch)
+    Metrics.pairMetrics(EntryStages.testPairs(feats),
+      col("pattern").isin(matchPatterns: _*).cast("int"), col("label"))
+  }
+
+  /** Final centroids in micro-units: (cluster, c0..c4); cluster 1 =
+    * match. Oracle-checks the FIT itself, not just downstream counts. */
+  def kmeansCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val m = kmeansFit(spark, sfDir)
+    def micros(c: Array[Double]) = c.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    val (u, mm) = (micros(m.cu), micros(m.cm))
+    Seq((0L, u(0), u(1), u(2), u(3), u(4)),
+        (1L, mm(0), mm(1), mm(2), mm(3), mm(4)))
+      .toDF("cluster", "c0_micros", "c1_micros", "c2_micros", "c3_micros",
+        "c4_micros")
+  }
+
+  // ---- supervised logistic regression -------------------------------
+
+  /** Full-batch GD iteration count / rate / L2, single-sourced with the
+    * DuckDB oracle (OracleSql.LrIters etc). Mean logistic loss over
+    * binary features has Lipschitz smoothness <= 0.25*(5+1), so rate
+    * 1.0 is a guaranteed-descent step; 80 unrolled iterations stay
+    * under DuckDB's parser depth (ECM already unrolls 120). */
+  final val LrFitIters = 80
+  final val LrRate = 1.0
+  final val LrReg = 0.001
+
+  /** Weights over f0..f4 + intercept; match iff the logit (computed
+    * f0..f4 left-to-right, then + b) is >= 0. */
+  final case class LrModel(w: Array[Double], b: Double) {
+    def logit(pattern: Int): Double = {
+      val bits = bitsOf(pattern)
+      var z = 0.0
+      var i = 0
+      while (i < NFeatures) { z += w(i) * bits(i); i += 1 }
+      z + b
+    }
+    def isMatch(pattern: Int): Boolean = logit(pattern) >= 0.0
+  }
+
+  /**
+   * Deterministic full-batch gradient descent over the LABELED train
+   * histogram (<= 64 cells: pattern x label). Mean gradient + L2 on
+   * the weights (not the intercept), nano-quantized parameters per
+   * iteration. Cells are folded in (pattern, label) order; the SQL
+   * replay aggregates in engine order — the quantization absorbs the
+   * difference (sub-1e-9 per step by construction).
+   */
+  def fitLogReg(cells: Array[(Int, Int, Long)],
+                iters: Int = LrFitIters): LrModel = {
+    val total = cells.map(_._3).sum.toDouble
+    var w = Array.fill(NFeatures)(0.0)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val model = LrModel(w, b)
+      val gw = Array.fill(NFeatures)(0.0)
+      var gb = 0.0
+      cells.foreach { case (pat, label, n) =>
+        val p = 1.0 / (1.0 + math.exp(-model.logit(pat)))
+        val err = (p - label) * n
+        var i = 0
+        while (i < NFeatures) {
+          val bit = (pat >> (NFeatures - 1 - i)) & 1
+          if (bit == 1) gw(i) += err
+          i += 1
+        }
+        gb += err
+      }
+      w = Array.tabulate(NFeatures)(i =>
+        q9(w(i) - LrRate * (gw(i) / total + LrReg * w(i))))
+      b = q9(b - LrRate * (gb / total))
+      it += 1
+    }
+    LrModel(w, b)
+  }
+
+  private def trainCells(feats: DataFrame): Array[(Int, Int, Long)] =
+    EntryStages.trainPairs(feats)
+      .groupBy("pattern", "label").count()
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).intValue, r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+
+  private def logRegFit(spark: SparkSession, sfDir: String): LrModel =
+    EntryStages.memoModel(spark, sfDir, "fs_logreg") {
+      fitLogReg(trainCells(withFeatures(EntryStages.scoredp(spark, sfDir))))
+    }
+
+  /** Supervised logistic regression: train split -> test F1. */
+  def logRegMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = withFeatures(EntryStages.scoredp(spark, sfDir))
+    val model = logRegFit(spark, sfDir)
+    val matchPatterns = (0 until (1 << NFeatures)).filter(model.isMatch)
+    Metrics.pairMetrics(EntryStages.testPairs(feats),
+      col("pattern").isin(matchPatterns: _*).cast("int"), col("label"))
+  }
+
+  /** Learned weights in micro-units: f0..f4 rows + the intercept row —
+    * the fs analogue of veer_weights, but oracle-checkable. */
+  def logRegWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val m = logRegFit(spark, sfDir)
+    ((0 until NFeatures).map(i =>
+      (s"f$i", math.floor(m.w(i) * 1e6 + 0.5).toLong)) :+
+      ("intercept", math.floor(m.b * 1e6 + 0.5).toLong))
+      .toDF("feature", "weight_micros")
   }
 }

@@ -71,10 +71,27 @@ object Ann {
    * buckets for a 500-vector corpus made nearly every bucket a
    * singleton (~9% recall); width must follow the data.
    */
-  private[graft] def lshBits(n: Long, targetBucket: Int = TargetBucket): Int =
-    math.max(3, math.ceil(
-      math.log(math.max(n, 2L * targetBucket).toDouble / targetBucket) /
-        math.log(2.0)).toInt)
+  private[graft] def lshBits(n: Long, targetBucket: Int = TargetBucket): Int = {
+    // smallest b >= 3 with 2^b buckets of ~targetBucket covering n —
+    // INTEGER arithmetic, not ceil(log2(...)): at exact powers of two a
+    // one-ulp difference between two engines' log kernels would flip
+    // the width, and the DuckDB oracle recomputes this same bound
+    var b = 3
+    while ((1L << b) * targetBucket < n && b < 30) b += 1
+    b
+  }
+
+  /**
+   * Deterministic hyperplane component in [-1, 1): FNV-1a mix of
+   * (table, bit) with the dimension index, top 53 bits mapped to a
+   * uniform double, truncated to float. Seeded-hash instead of
+   * `java.util.Random` so the DuckDB oracle replays the exact planes
+   * (same fnvMix already replayed in SQL for the negative samplers).
+   */
+  private[graft] def planeComponent(t: Int, b: Int, i: Int): Float = {
+    val h = graft.sim.NegativeSampler.fnvMix(t.toLong * 4099L + b.toLong, i.toLong)
+    ((h >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0).toFloat
+  }
 
   /** Sign-bit signature of v under `planes` (bits x dim). */
   def signature(v: Array[Float], planes: Array[Array[Float]]): Int = {
@@ -107,8 +124,7 @@ object Ann {
     val vecs = typedVecs(spark, sfDir)
     val bits = lshBits(vecs.count())
     val planes = spark.sparkContext.broadcast(Array.tabulate(tables) { t =>
-      val rnd = new java.util.Random(1000 + t)
-      Array.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      Array.tabulate(bits)(b => Array.tabulate(dim)(i => planeComponent(t, b, i)))
     })
     val bucketed = vecs.mapPartitions { it =>
       val ps = planes.value
@@ -147,9 +163,13 @@ object Ann {
       .mapPartitions(_.map { case (qid, qv, nid, nv) =>
         (qid, nid, Embed.cosine(qv, nv))
       }).toDF("query_id", "neighbor_id", "cos")
+    // rank on micro-rounded cosine for kernel-independent parity with
+    // the DuckDB oracle (see bruteTopK)
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("cos_micros").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("cos_micros", round(col("cos") * 1000000.0).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }

@@ -199,6 +199,103 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
   val thresholdBest: String = q(
     "SELECT theta, tp, fp, fn, f1 FROM best")
 
+  /** Recomputes each checkpointed stage's row count from first
+    * principles: keyed/clusters = one row per record, candidates/
+    * scored = one row per candidate pair. */
+  val ckptLineage: String = q(
+    """SELECT stage, n_rows FROM (
+         SELECT 'candidates' AS stage,
+                (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_rows
+         UNION ALL SELECT 'clusters',
+                (SELECT CAST(count(*) AS BIGINT) FROM keyed)
+         UNION ALL SELECT 'keyed',
+                (SELECT CAST(count(*) AS BIGINT) FROM keyed)
+         UNION ALL SELECT 'scored',
+                (SELECT CAST(count(*) AS BIGINT) FROM cand)
+       ) ORDER BY stage""")
+
+  /** One UTF-16 char step of the 32-bit FNV-1a fold
+    * ([[graft.sim.Embed.fnv1aSeeded]]): low byte then high byte, each
+    * xor-multiply mod 2^32. BIGINT throughout (values < 2^32, products
+    * < 2^57); `h` is referenced exactly once, so a 3-char nest stays
+    * linear in size. */
+  private def fnvCharStep(h: String, c: String): String = {
+    val lo = s"((xor(($h), (($c) & 255)) * 16777619) & 4294967295)"
+    s"((xor($lo, (($c) >> 8)) * 16777619) & 4294967295)"
+  }
+
+  /**
+   * Full replay of the flagship 3-feature scorer
+   * ([[graft.sim.Scorer.score]]): DuckDB jaro_winkler/levenshtein are
+   * bit-identical to the Scala kernels; the trigram feature-hash cosine
+   * ([[graft.sim.Embed.vector]]) is recomputed from first principles —
+   * the FNV-seeded projection matrix ([[graft.sim.Embed.projComponent]]
+   * via the chained fnvMix CTEs), the 32-bit FNV-1a trigram fold
+   * ([[fnvCharStep]]), per-record bucket counts joined to projection
+   * rows and SUMmed per dimension. The only engine divergence is
+   * double-summation order (~1e-15), absorbed by the micro-rounded
+   * cos/score exports; jw/lev export as raw doubles (exact). The
+   * equal-content short-circuit mirrors Scorer's (1.0 without
+   * computing kernels — also covers DuckDB's jw('','') = 0.0 edge).
+   */
+  val scoredPairsFull: String = q(s""", pjsrc AS (
+  SELECT rb.bkt, rj.j
+  FROM range(0, ${graft.sim.Embed.DefaultBuckets}) rb(bkt)
+  CROSS JOIN range(0, ${graft.sim.Embed.DefaultDim}) rj(j)
+)${fnvMixChainW("pjh", "pjsrc",
+      s"((bkt + 1) * ${graft.sim.Embed.ProjSeed})::HUGEINT", "j::HUGEINT", 4, 1)}
+, pcomp AS MATERIALIZED (
+  SELECT bkt, j,
+    CAST(pjh_h >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS comp
+  FROM pjh4
+), tgdoc AS (
+  SELECT id, content_norm AS tgs, length(content_norm) AS tgn
+  FROM keyed WHERE length(content_norm) > 0
+), tgpos AS (
+  SELECT id, tgs, tgn,
+    unnest(range(1, greatest(tgn - 2, 1) + 1)) AS ti
+  FROM tgdoc
+), tgh AS MATERIALIZED (
+  SELECT id,
+    (CASE WHEN tc3 >= 0
+          THEN ${fnvCharStep(fnvCharStep(fnvCharStep("2166136261", "tc1"), "tc2"), "tc3")}
+          WHEN tc2 >= 0
+          THEN ${fnvCharStep(fnvCharStep("2166136261", "tc1"), "tc2")}
+          ELSE ${fnvCharStep("2166136261", "tc1")} END)
+      & ${graft.sim.Embed.DefaultBuckets - 1} AS bkt
+  FROM (
+    SELECT id,
+      unicode(substr(tgs, CAST(ti AS INT), 1)) AS tc1,
+      CASE WHEN ti + 1 <= tgn
+           THEN unicode(substr(tgs, CAST(ti + 1 AS INT), 1)) ELSE -1 END AS tc2,
+      CASE WHEN ti + 2 <= tgn
+           THEN unicode(substr(tgs, CAST(ti + 2 AS INT), 1)) ELSE -1 END AS tc3
+    FROM tgpos
+  )
+), tgb AS MATERIALIZED (
+  SELECT id, bkt, CAST(count(*) AS DOUBLE) AS cnt FROM tgh GROUP BY id, bkt
+), tgacc AS MATERIALIZED (
+  SELECT t.id, p.j, SUM(t.cnt * p.comp) AS av
+  FROM tgb t JOIN pcomp p ON p.bkt = t.bkt
+  GROUP BY t.id, p.j
+), tgvec AS MATERIALIZED (
+  SELECT id, list(av ORDER BY j) AS v FROM tgacc GROUP BY id
+)
+SELECT f.idA, f.idB,
+  CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.jw END AS jw,
+  CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.lev END AS lev,
+  CAST(round(CASE WHEN f.content_a = f.content_b THEN 1.0
+    ELSE coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END * 1000000)
+    AS BIGINT) AS cos_micros,
+  CAST(round(CASE WHEN f.content_a = f.content_b THEN 1.0
+    ELSE 0.3 * f.jw + 0.4 * f.lev
+       + 0.3 * coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END * 1000000)
+    AS BIGINT) AS score_micros,
+  f.label, f.split_a, f.split_b
+FROM feats f
+LEFT JOIN tgvec va ON va.id = f.idA
+LEFT JOIN tgvec vb ON vb.id = f.idB""")
+
   val matchEdges: String = q(
     """SELECT idA AS src, idB AS dst, dist FROM scoredp
        WHERE dist <= (SELECT theta FROM best)""")
@@ -519,6 +616,175 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
       (tp + tn) / (tp + fp + fn + tn) AS accuracy
     FROM conf""")
 
+  // ---- deterministic k-means / logistic-regression oracles: same
+  // unrolled-CTE discipline as ECM above, but these two fits are
+  // nano-quantized (floor(x*1e9+0.5)/1e9 after every parameter update,
+  // identical IEEE ops in graft.ml.Classifiers.q9), so the replay is
+  // bit-exact WITHOUT a freeze argument: any sub-1e-9 engine noise
+  // (aggregation order, exp kernel ulps) is snapped away each
+  // iteration. All dot products / distances are generated as the same
+  // left-to-right f0..f4 chains the Scala loops accumulate.
+
+  private val KmIters = graft.ml.Classifiers.KmFitIters
+  private val LrIters = graft.ml.Classifiers.LrFitIters
+  private val LrRateC = graft.ml.Classifiers.LrRate
+  private val LrRegC = graft.ml.Classifiers.LrReg
+
+  /** f_i of a packed pattern as 0.0/1.0. */
+  private def bitD(colRef: String, bit: Int): String =
+    s"(CASE WHEN ($colRef & $bit) > 0 THEN 1.0 ELSE 0.0 END)"
+
+  private def q9Sql(x: String): String = s"floor(($x) * 1e9 + 0.5) / 1e9"
+
+  /** Assignment CTE ka$k: each histogram pattern to its nearer centroid
+    * under kc$k (squared distance, f0..f4 left-to-right; tie -> 0). */
+  private def kmAssignCte(k: Int): String = {
+    def dist(param: Int => String) = EcmBits.zipWithIndex.map { case (bit, i) =>
+      val d = s"(${bitD("h.pattern", bit)} - ${param(i)})"
+      s"$d * $d"
+    }.mkString(" + ")
+    s""", ka$k AS MATERIALIZED (
+      SELECT pattern, n, CASE WHEN dm < du THEN 1 ELSE 0 END AS cl
+      FROM (SELECT h.pattern, h.n,
+        ${dist(i => s"c.m$i")} AS dm,
+        ${dist(i => s"c.u$i")} AS du
+        FROM hist h, kc$k c) x
+    )"""
+  }
+
+  /** Lloyd M-step: integer per-cluster sums (exact in both engines),
+    * nano-quantized mean per coordinate, emptied cluster keeps its
+    * previous centroid. */
+  private def kmStepCte(k: Int): String = {
+    val sums = EcmBits.zipWithIndex.map { case (bit, i) =>
+      s"""CAST(SUM(CASE WHEN cl = 1 AND (pattern & $bit) > 0 THEN n ELSE 0 END) AS BIGINT) AS sm$i,
+        CAST(SUM(CASE WHEN cl = 0 AND (pattern & $bit) > 0 THEN n ELSE 0 END) AS BIGINT) AS su$i"""
+    }.mkString(",\n        ")
+    val means = EcmBits.indices.map { i =>
+      s"""CASE WHEN s.nm > 0 THEN ${q9Sql(s"CAST(s.sm$i AS DOUBLE) / s.nm")} ELSE c.m$i END AS m$i,
+        CASE WHEN s.nu > 0 THEN ${q9Sql(s"CAST(s.su$i AS DOUBLE) / s.nu")} ELSE c.u$i END AS u$i"""
+    }
+    s""", ks$k AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN cl = 1 THEN n ELSE 0 END) AS BIGINT) AS nm,
+        CAST(SUM(CASE WHEN cl = 0 THEN n ELSE 0 END) AS BIGINT) AS nu,
+        $sums
+      FROM ka$k
+    ), kc${k + 1} AS MATERIALIZED (
+      SELECT ${means.mkString(",\n        ")}
+      FROM ks$k s, kc$k c
+    )"""
+  }
+
+  private def kmChain: String = {
+    val init = s""", kc0 AS (SELECT
+      ${EcmBits.indices.map(i => s"0.95 AS m$i").mkString(", ")},
+      ${EcmBits.indices.map(i => s"0.05 AS u$i").mkString(", ")})"""
+    // trailing assignment = predictions under the FINAL centroids
+    ecmPatternCte + init +
+      (0 until KmIters).map(k => kmAssignCte(k) + kmStepCte(k)).mkString +
+      kmAssignCte(KmIters)
+  }
+
+  val fsKmeansCentroids: String = q(kmChain + s"""
+    SELECT CAST(0 AS BIGINT) AS cluster,
+      ${EcmBits.indices.map(i =>
+        s"CAST(floor(u$i * 1e6 + 0.5) AS BIGINT) AS c${i}_micros").mkString(", ")}
+    FROM kc$KmIters
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS cluster,
+      ${EcmBits.indices.map(i =>
+        s"CAST(floor(m$i * 1e6 + 0.5) AS BIGINT) AS c${i}_micros").mkString(", ")}
+    FROM kc$KmIters""")
+
+  val fsKmeansMetrics: String = q(kmChain + s""", testf AS (
+      SELECT a.cl AS pred, f.label
+      FROM fpat f JOIN ka$KmIters a ON f.pattern = a.pattern
+      WHERE f.split_a = 'test' AND f.split_b = 'test'
+    ), conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM testf)
+    SELECT tp, fp, fn, tn,
+      CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+      CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+      CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+      (tp + tn) / (tp + fp + fn + tn) AS accuracy
+    FROM conf""")
+
+  /** Logit under lw$k for `colRef`'s pattern: w0*f0 + .. + w4*f4 + b,
+    * the exact accumulation order of LrModel.logit. */
+  private def lrLogit(colRef: String): String =
+    EcmBits.zipWithIndex.map { case (bit, i) =>
+      s"w.w$i * ${bitD(colRef, bit)}"
+    }.mkString(" + ") + " + w.b"
+
+  /** One GD iteration: per-cell weighted error, aggregated gradient,
+    * nano-quantized parameter update (mean gradient + L2 on weights,
+    * not the intercept) — mirrors Classifiers.fitLogReg term for term. */
+  private def lrStepCte(k: Int): String = {
+    val grads = EcmBits.zipWithIndex.map { case (bit, i) =>
+      s"SUM(CASE WHEN (pattern & $bit) > 0 THEN err ELSE 0 END) AS g$i"
+    }.mkString(",\n        ")
+    val upd = EcmBits.indices.map { i =>
+      q9Sql(s"w.w$i - $LrRateC * (g.g$i / (SELECT total FROM ttot) + $LrRegC * w.w$i)") + s" AS w$i"
+    }.mkString(",\n        ")
+    s""", lg$k AS MATERIALIZED (
+      SELECT t.pattern, t.label, t.n,
+        (1.0 / (1.0 + exp(-(${lrLogit("t.pattern")}))) - t.label) * t.n AS err
+      FROM thist t, lw$k w
+    ), lgr$k AS MATERIALIZED (
+      SELECT $grads,
+        SUM(err) AS gb
+      FROM lg$k
+    ), lw${k + 1} AS MATERIALIZED (
+      SELECT $upd,
+        ${q9Sql(s"w.b - $LrRateC * (g.gb / (SELECT total FROM ttot))")} AS b
+      FROM lw$k w, lgr$k g
+    )"""
+  }
+
+  private def lrChain: String = {
+    val init = s""", thist AS MATERIALIZED (
+      SELECT pattern, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fpat WHERE split_a = 'train' AND split_b = 'train'
+      GROUP BY pattern, label
+    ), ttot AS MATERIALIZED (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM thist)
+    , lw0 AS (SELECT ${EcmBits.indices.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"""
+    ecmPatternCte + init +
+      (0 until LrIters).map(lrStepCte).mkString + s""", lpred AS MATERIALIZED (
+      SELECT h.pattern, CASE WHEN ${lrLogit("h.pattern")} >= 0 THEN 1 ELSE 0 END AS pred
+      FROM hist h, lw$LrIters w
+    )"""
+  }
+
+  val fsLogregWeights: String = q(lrChain + s"""
+    ${EcmBits.indices.map(i =>
+      s"SELECT 'f$i' AS feature, CAST(floor(w$i * 1e6 + 0.5) AS BIGINT) AS weight_micros FROM lw$LrIters")
+      .mkString("\n    UNION ALL\n    ")}
+    UNION ALL
+    SELECT 'intercept' AS feature, CAST(floor(b * 1e6 + 0.5) AS BIGINT) AS weight_micros FROM lw$LrIters""")
+
+  val fsLogregMetrics: String = q(lrChain + s""", testf AS (
+      SELECT p.pred, f.label
+      FROM fpat f JOIN lpred p ON f.pattern = p.pattern
+      WHERE f.split_a = 'test' AND f.split_b = 'test'
+    ), conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM testf)
+    SELECT tp, fp, fn, tn,
+      CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+      CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+      CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+      (tp + tn) / (tp + fp + fn + tn) AS accuracy
+    FROM conf""")
+
   /** Streaming linkage emits exactly the same-block A×B pairs above the
     * JW threshold (set semantics are arrival-order-independent), so the
     * batch join IS the oracle. Threshold literal must match
@@ -557,7 +823,7 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
     * y folded through FNV-1a 64-bit, every step mod 2^64 in HUGEINT
     * (the 8-bit xor is lifted out of the low byte since `h ^ byte`
     * touches only bits 0-7). */
-  private def fnvMixSql(x: String, y: String): String = {
+  private[oracle] def fnvMixSql(x: String, y: String): String = {
     // lambda params deliberately avoid every column name in scope
     // (a, b, r, rep, h, i, n): they would shadow, not clash, but the
     // shadowing would be invisible in the generated SQL
@@ -586,7 +852,9 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
   /** p^k mod 2^64 for the FNV-1a 64 prime — a run of k zero-byte fold
     * steps is a pure multiply by p each (xor with 0 is the identity),
     * and k consecutive multiplies collapse into ONE multiply by p^k. */
-  private val FnvPrimePow: IndexedSeq[BigInt] = {
+  // lazy: referenced (via fnvMixChainW) by vals declared ABOVE this
+  // point in the file — eager init order would read it as null
+  private lazy val FnvPrimePow: IndexedSeq[BigInt] = {
     val m = BigInt(1) << 64
     (0 to 8).map(k => BigInt(0x100000001b3L).modPow(BigInt(k), m))
   }
@@ -613,9 +881,10 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
     * `%`/`//`: DuckDB evaluates HUGEINT `&`/`>>` ~5x faster than
     * division-family ops, and this chain is the hot loop of the
     * sampler oracles. */
-  private def fnvMixChainW(pre: String, src: String, x: String, y: String,
-                           xBytes: Int, yBytes: Int,
-                           init: Option[String] = None): String = {
+  private[oracle] def fnvMixChainW(pre: String, src: String,
+                                   x: String, y: String,
+                                   xBytes: Int, yBytes: Int,
+                                   init: Option[String] = None): String = {
     // every returned expression is FULLY parenthesized: & and >> bind
     // looser than +/- in DuckDB, so an unwrapped composition like
     // `prev - (prev & 255)` would silently re-associate

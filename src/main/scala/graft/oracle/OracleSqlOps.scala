@@ -141,6 +141,54 @@ JOIN (SELECT doc_id AS doc1, n_sh AS n1 FROM sizes) USING (doc1)
 JOIN (SELECT doc_id AS doc2, n_sh AS n2 FROM sizes) USING (doc2)
 ORDER BY jaccard DESC, doc1, doc2 LIMIT 20"""
 
+  /** Near-dup document clustering ([[graft.ops.Dedup.dedupClusters]]):
+    * the SAME banded-minhash edge derivation as [[minhashLsh]]
+    * (threshold on the exact verified Jaccard — one integer division,
+    * bit-identical across engines), then transitive closure via a
+    * RECURSIVE CTE with cluster = min doc_id, exactly the fixpoint the
+    * large/small-star loop converges to (same shape as
+    * [[OracleSql.ccClusters]]). */
+  val dedupClusters: String = "WITH RECURSIVE " +
+    shinglesCte.stripPrefix("WITH ") + s""",
+seeded AS (
+  SELECT doc_id, seed, shingle FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+), sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+    md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || '=' || mh)), '|')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(floor(seed / 2) AS INT)
+), cands AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2 USING (band, band_key)
+  WHERE b1.doc_id < b2.doc_id
+), medge AS MATERIALIZED (
+  SELECT doc1, doc2
+  FROM cands
+  LEFT JOIN inter USING (doc1, doc2)
+  JOIN (SELECT doc_id AS doc1, n_sh AS n1 FROM sizes) USING (doc1)
+  JOIN (SELECT doc_id AS doc2, n_sh AS n2 FROM sizes) USING (doc2)
+  WHERE coalesce(inter, 0) / (n1 + n2 - coalesce(inter, 0))
+        >= ${graft.ops.Dedup.ClusterMinJaccard}
+), uedge AS MATERIALIZED (
+  SELECT doc1 AS a, doc2 AS b FROM medge
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM medge
+), reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM t
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN uedge e ON e.a = r.node
+), cl AS (
+  SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+  FROM reach GROUP BY node
+), sz AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY cluster
+)
+SELECT doc_id, cluster, cluster_size,
+  CAST(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM cl JOIN sz USING (cluster)"""
+
   /** [[graft.ops.Dedup.simhash64]]'s per-token FNV-1a 32-bit hash as a
     * DuckDB `list_reduce`. The Scala kernel folds each UTF-16 char as
     * two steps (`c & 0xff` then `c >>> 8`); for 7-bit ASCII the second
@@ -289,6 +337,65 @@ FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS a,
 )
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
 
+  /**
+   * Full bit-exact replay of [[graft.ops.Ann.lshTopK]]: the FNV-seeded
+   * hyperplanes ([[graft.ops.Ann.planeComponent]] — fnvMix replayed via
+   * [[OracleSql.fnvMixSql]], top-53-bit uniform double, REAL-truncated),
+   * the integer-exact signature width bound ([[graft.ops.Ann.lshBits]]),
+   * sign-bit signatures whose dot products sum LEFT-TO-RIGHT in double
+   * exactly like the Scala kernel (explicit 64-term `+` chain — a sign
+   * threshold has no rounding tolerance, unlike the micro-rounded
+   * rerank), bucket equi-join, distinct id pairs, exact micro-rounded
+   * cosine rerank.
+   */
+  val annLshTopK: String = {
+    val dot = (1 to 64).map(i => s"p[$i] * v[$i]").mkString(" + ")
+    s"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), nb AS (
+  SELECT MIN(b) AS bits
+  FROM range(3, 31) t(b), (SELECT count(*) AS n FROM e) c
+  WHERE (1::BIGINT << b) * ${graft.ops.Ann.TargetBucket} >= c.n OR b = 30
+), planes AS MATERIALIZED (
+  SELECT t, b, list(comp ORDER BY i) AS p
+  FROM (
+    SELECT t, b, i,
+      CAST(CAST(CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+           AS REAL) AS DOUBLE) AS comp
+    FROM (
+      SELECT t, b, i,
+        ${OracleSql.fnvMixSql("(t * 4099 + b)::HUGEINT", "i::HUGEINT")} AS h
+      FROM range(0, ${graft.ops.Ann.LshTables}) rt(t)
+      CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM nb))) AS b)
+      CROSS JOIN range(0, 64) ri(i)
+    )
+  ) GROUP BY t, b
+), sigs AS MATERIALIZED (
+  SELECT vec_id, t,
+    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+  FROM (
+    SELECT e.vec_id, pl.t, pl.b, $dot AS dot
+    FROM e CROSS JOIN planes pl
+  ) GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(round(list_cosine_similarity(qv.v, nv.v) * 1000000) AS BIGINT) AS cm
+  FROM cand
+  JOIN e qv ON qv.vec_id = query_id
+  JOIN e nv ON nv.vec_id = neighbor_id
+), ranked AS (
+  SELECT query_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, neighbor_id) AS BIGINT) AS rank,
+    neighbor_id
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
+  }
+
   /** IVF ANN oracle: per-label centroid means, top-2 probed labels per
     * query, exact rerank — all on micro-rounded cosine (both engines'
     * cosine kernels sum identical doubles in identical index order;
@@ -321,4 +428,37 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
 )
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3"""
   }
+
+  // ---- deterministic stratified sampling ---------------------------
+  // graft.ops.Sample replayed exactly: the seeded FNV-1a u20 draw runs
+  // through OracleSql.fnvMixChainW (doc_id is structurally < 2^40 -> 5
+  // live bytes; the salt is one byte), the per-stratum rate table is
+  // the same CASE, and every exported value is an exact integer.
+
+  private def sampleRateCase: String =
+    "(CASE lang " + graft.ops.Sample.Rates.map { case (l, r) =>
+      s"WHEN '$l' THEN $r::HUGEINT " }.mkString +
+      s"ELSE ${graft.ops.Sample.DefaultRateU20}::HUGEINT END)"
+
+  private def sampleChain: String =
+    "WITH sdoc AS MATERIALIZED (SELECT doc_id, lang FROM documents)" +
+      OracleSql.fnvMixChainW("sst", "sdoc", "doc_id::HUGEINT",
+        s"${graft.ops.Sample.Salt}::HUGEINT", 5, 1)
+
+  private val sampleMask = graft.ops.Sample.RateOne - 1
+
+  val sampleStratified: String = sampleChain + s"""
+SELECT doc_id, lang,
+  CAST((sst_h & $sampleMask::HUGEINT) AS BIGINT) AS draw_u20
+FROM sst4
+WHERE (sst_h & $sampleMask::HUGEINT) < $sampleRateCase"""
+
+  val sampleStrataStats: String = sampleChain + s"""
+SELECT lang,
+  CAST($sampleRateCase AS BIGINT) AS rate_u20,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN (sst_h & $sampleMask::HUGEINT) < $sampleRateCase
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM sst4
+GROUP BY lang"""
 }

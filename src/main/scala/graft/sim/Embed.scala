@@ -13,7 +13,7 @@ package graft.sim
  * nondeterministic).
  *
  * Scale design: the broadcast state is a FIXED-SIZE projection matrix
- * (`buckets x dim`, ~1 MB), not a per-record or per-token table — a
+ * (`buckets x dim`, ~2 MB), not a per-record or per-token table — a
  * record's vector is the L2-normalized sum of projection rows indexed
  * by the FNV-1a hash of its char trigrams. At 10^12 rows the broadcast
  * cost is unchanged, unlike a vocab-sized matrix.
@@ -22,17 +22,33 @@ object Embed {
 
   final val DefaultDim = 64
   final val DefaultBuckets = 4096
-  final val DefaultSeed = 42L
 
-  /** buckets x dim pseudo-random unit rows; deterministic in seed. */
-  def projection(buckets: Int = DefaultBuckets, dim: Int = DefaultDim,
-                 seed: Long = DefaultSeed): Array[Array[Float]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(buckets) {
-      val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
-      l2normalize(v); v
-    }
+  /** Seed multiplier separating the projection's fnvMix stream from the
+    * ANN hyperplane and sampler streams (any distinct affine works). */
+  final val ProjSeed = 100003L
+
+  /**
+   * Uniform double in [-1, 1): FNV-1a mix of (bucket, dim) with the top
+   * 53 bits mapped to a uniform double. Seeded-hash instead of
+   * `java.util.Random` so the DuckDB oracle replays the exact matrix
+   * (same fnvMix already replayed in SQL for the negative samplers and
+   * ANN hyperplanes).
+   */
+  def projComponent(bkt: Int, j: Int): Double = {
+    val h = NegativeSampler.fnvMix((bkt.toLong + 1L) * ProjSeed, j.toLong)
+    (h >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0
   }
+
+  /**
+   * buckets x dim pseudo-random rows, deterministic AND SQL-replayable.
+   * Rows are deliberately NOT normalized: the record vector is
+   * L2-normalized after accumulation, so per-row norms only perturb
+   * bucket weights — skipping the row normalization removes a whole
+   * rounding stage the oracle would otherwise have to replicate.
+   */
+  def projection(buckets: Int = DefaultBuckets,
+                 dim: Int = DefaultDim): Array[Array[Double]] =
+    Array.tabulate(buckets)(b => Array.tabulate(dim)(j => projComponent(b, j)))
 
   /** FNV-1a 32-bit over UTF-16 chars; stable across JVMs. */
   def fnv1a(s: CharSequence, from: Int, until: Int): Int =
@@ -63,12 +79,29 @@ object Embed {
     }
   }
 
-  /** L2-normalized trigram feature-hash vector of `s` under `proj`. */
-  def vector(s: String, proj: Array[Array[Float]]): Array[Float] = {
+  def l2normalize(v: Array[Double]): Unit = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s > 0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < v.length) { v(i) *= inv; i += 1 }
+    }
+  }
+
+  /**
+   * L2-normalized trigram feature-hash vector of `s` under `proj` —
+   * all-double accumulation, so the only divergence from the DuckDB
+   * replay (which SUMs the same bucket components in an engine-chosen
+   * order) is non-associativity noise ~1e-15, absorbed by the
+   * micro-rounded export.
+   */
+  def vector(s: String, proj: Array[Array[Double]]): Array[Double] = {
     val dim = proj(0).length
     val mask = proj.length - 1
     require((proj.length & mask) == 0, "buckets must be a power of two")
-    val out = new Array[Float](dim)
+    val out = new Array[Double](dim)
     val n = s.length
     if (n == 0) return out
     val gram = 3
@@ -83,6 +116,17 @@ object Embed {
     }
     l2normalize(out)
     out
+  }
+
+  /** Cosine similarity of two (not necessarily normalized) vectors. */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** Cosine similarity of two (not necessarily normalized) vectors. */

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
  */
 object NegativeSampler {
 
-  private[sim] def fnvMix(a: Long, b: Long): Long = {
+  private[graft] def fnvMix(a: Long, b: Long): Long = {
     var h = 0xcbf29ce484222325L
     def step(x: Long): Unit = {
       var v = x

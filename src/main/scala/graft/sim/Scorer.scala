@@ -42,12 +42,12 @@ object Scorer {
 
   def score(
       pairs: Dataset[CandPair],
-      proj: Broadcast[Array[Array[Float]]]): Dataset[ScoredPair] = {
+      proj: Broadcast[Array[Array[Double]]]): Dataset[ScoredPair] = {
     import pairs.sparkSession.implicits._
     pairs.mapPartitions { it =>
       val mat = proj.value
-      val cache = new java.util.HashMap[String, Array[Float]](1 << 12)
-      def vec(s: String): Array[Float] = {
+      val cache = new java.util.HashMap[String, Array[Double]](1 << 12)
+      def vec(s: String): Array[Double] = {
         var v = cache.get(s)
         if (v == null) {
           v = Embed.vector(s, mat)
@@ -72,13 +72,13 @@ object Scorer {
 
   /** DataFrame convenience over [[Blocking.candidates]] output. */
   def scoreDF(candidates: DataFrame,
-              proj: Broadcast[Array[Array[Float]]]): DataFrame = {
+              proj: Broadcast[Array[Array[Double]]]): DataFrame = {
     import candidates.sparkSession.implicits._
     score(candidates.selectExpr(
       "idA", "idB", "block_key", "content_a", "content_b",
       "dni_a", "dni_b", "split_a", "split_b").as[CandPair], proj).toDF()
   }
 
-  def broadcastProjection(spark: SparkSession): Broadcast[Array[Array[Float]]] =
+  def broadcastProjection(spark: SparkSession): Broadcast[Array[Array[Double]]] =
     spark.sparkContext.broadcast(Embed.projection())
 }

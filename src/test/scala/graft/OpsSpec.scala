@@ -103,6 +103,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.hamming(a, far) > Dedup.hamming(a, c))
   }
 
+  test("stratified sampler: seeded, rate-faithful, auditable") {
+    import spark.implicits._
+    import graft.ops.Sample
+    // the codegen'd fnv_mix expression IS the Scala kernel
+    val mixed = Seq((0L, 77L), (123456789L, 77L), (-1L, 42L))
+      .toDF("a", "b")
+      .select(graft.functions.FnvMixFunctions.fnv_mix(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    assert(mixed sameElements Array(
+      sim.NegativeSampler.fnvMix(0L, 77L),
+      sim.NegativeSampler.fnvMix(123456789L, 77L),
+      sim.NegativeSampler.fnvMix(-1L, 42L)))
+    val s1 = Sample.stratified(spark, sf)
+    val s2 = Sample.stratified(spark, sf)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // audit table consistent with the row-level sample
+    val stats = Sample.strataStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val keptByLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats.foreach { case (lang, (rate, total, kept)) =>
+      assert(keptByLang.getOrElse(lang, 0L) == kept, s"audit drift for $lang")
+      // realized rate within 4 sigma of the configured Bernoulli rate
+      val p = rate.toDouble / Sample.RateOne
+      val tol = 4 * math.sqrt(p * (1 - p) * total)
+      assert(math.abs(kept - p * total) <= math.max(tol, 1.0),
+        s"$lang kept $kept of $total at configured $p")
+    }
+    assert(stats("en")._1 < stats("fr")._1) // head stratum downsampled
+  }
+
   test("exact dedup groups identical normalized docs") {
     val d = Dedup.exact(spark, sf)
     assert(d.count() == 500)
@@ -121,6 +153,51 @@ class OpsSpec extends AnyFunSuite {
     assert(model.posterior(0) < 0.5)
     val m = ml.Classifiers.ecmMetrics(spark, sf).head()
     assert(m.getAs[Double]("f1") >= 0.95, s"ECM F1 ${m.getAs[Double]("f1")}")
+  }
+
+  test("deterministic logreg / kmeans fits separate the pattern space") {
+    import ml.Classifiers._
+    // supervised GD fit: all-ones pattern -> match, all-zeros -> not
+    val lr = fitLogReg(Array((31, 1, 90L), (24, 1, 10L), (0, 0, 900L),
+      (8, 0, 20L)))
+    assert(lr.isMatch(31) && !lr.isMatch(0))
+    // Lloyd k=2 from the 0.95/0.05 init on the same toy histogram
+    val km = fitKmeans(Array((31, 100L), (0, 900L), (8, 20L)))
+    assert(km.isMatch(31) && !km.isMatch(0))
+    // real-data bands + fit determinism across repeated runs
+    val lm = ml.Classifiers.logRegMetrics(spark, sf).head()
+    assert(lm.getAs[Double]("f1") >= 0.95, s"logreg F1 $lm")
+    val km2 = ml.Classifiers.kmeansMetrics(spark, sf).head()
+    assert(km2.getAs[Double]("f1") >= 0.95, s"kmeans F1 $km2")
+    val w1 = ml.Classifiers.logRegWeights(spark, sf).collect().toSeq
+    val c1 = ml.Classifiers.kmeansCentroids(spark, sf).collect().toSeq
+    assert(w1.size == 6 && c1.size == 2)
+  }
+
+  test("near-dup clusters: transitive closure of the thresholded minhash edges") {
+    import spark.implicits._
+    val edges = Dedup.minhashScored(spark, sf)
+      .filter(col("jaccard") >= Dedup.ClusterMinJaccard)
+      .as[(Long, Long, Double)].collect().map { case (a, b, _) => (a, b) }
+    assert(edges.nonEmpty, "fixture must contain near-dup edges")
+    val cl = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (doc, c, n, canon) => doc -> ((c, n, canon)) }.toMap
+    // every doc clustered exactly once, cluster = min member id,
+    // canonical iff doc == cluster, sizes consistent
+    val byCluster = cl.groupBy(_._2._1)
+    byCluster.foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c label must be min member")
+      members.foreach { case (doc, (_, n, canon)) =>
+        assert(n == members.size, s"size mismatch for $doc")
+        assert((canon == 1L) == (doc == c))
+      }
+    }
+    // edges never straddle clusters (closure is at least edge-consistent)
+    edges.foreach { case (a, b) =>
+      assert(cl(a)._1 == cl(b)._1, s"edge ($a,$b) split across clusters")
+    }
+    assert(byCluster.exists(_._2.size > 1), "expected a non-singleton cluster")
   }
 
   test("embedding LSH recovers EXACTLY the exact-cosine near-dup set") {
