@@ -129,6 +129,7 @@ object SparkEntry {
           scale = 0.5) * 1000000).cast("long").as("gauss_micros"))
     }),
     "embed_logistic_metrics" -> ((s, d) => ml.EmbedLogistic.eval(s, d)),
+    "embed_logistic_weights" -> ((s, d) => ml.EmbedLogistic.weights(s, d)),
     // --- VEER / WERL: learned per-column weights (SURVEY §2.7, §2.9) ---
     "veer_weights" -> ((s, d) => ml.Weights.veerWeights(s, d)),
     "veer_metrics" -> ((s, d) => ml.Weights.veerMetrics(s, d)),
@@ -175,8 +176,8 @@ object SparkEntry {
     // trainer's regularization x iteration axes over ONE scoring pass
     "grid_veer" -> ((s, d) =>
       eval.GridSearch.sweep(s,
-        eval.GridSearch.grid("reg" -> Seq(0.001, 0.1),
-          "max_iter" -> Seq(25.0, 100.0)),
+        eval.GridSearch.grid("reg" -> ml.Weights.VeerGridRegs,
+          "max_iter" -> ml.Weights.VeerGridIters.map(_.toDouble)),
         p => ml.Weights.veerEval(s, d, p("reg"), p("max_iter").toInt))),
     // --- KR-EAR: relational + attributional dual-encoder (EAR graph) ---
     "krear_eval" -> ((s, d) => sim.KrEar.eval(s, d)),
@@ -261,6 +262,16 @@ object SparkEntry {
     "gauss_comparator" -> oracle.OracleSqlOps.gaussComparator,
     "stream_windowed" -> oracle.OracleSqlOps.streamWindowed,
     "stream_link_pairs" -> OracleSql.streamLinkPairs,
+    "transe_eval" -> oracle.OracleSqlTransE.transeEval,
+    "transh_eval" -> oracle.OracleSqlTransE.transhEval,
+    "embed_logistic_metrics" -> oracle.OracleSqlTransE.embedLogisticMetrics,
+    "embed_logistic_weights" -> oracle.OracleSqlTransE.embedLogisticWeights,
+    "krear_eval" -> oracle.OracleSqlKrEar.krearEval,
+    "mtranse_eval" -> oracle.OracleSqlMTransE.mtranseEval,
+    "etranse_eval" -> oracle.OracleSqlMTransE.etranseEval,
+    "veer_weights" -> oracle.OracleSqlVeer.veerWeights,
+    "veer_metrics" -> oracle.OracleSqlVeer.veerMetrics,
+    "grid_veer" -> oracle.OracleSqlVeer.gridVeer,
     "stream_link_pairs_capped" -> OracleSql.streamLinkPairsCapped,
     "fs_ecm_patterns" -> OracleSql.fsEcmPatterns,
     "fs_ecm_metrics" -> OracleSql.fsEcmMetrics,

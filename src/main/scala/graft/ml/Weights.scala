@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.EntryStages
@@ -17,8 +17,10 @@ import graft.sim.{RLTransE, Scorer}
  *   distances and predicts via sigmoid(weighted sum)
  *   (/root/reference/veer.py:79-86): here the columns are the raw
  *   (jw, lev, cos) similarity channels of the flagship scorer, and the
- *   weights come from MLlib logistic regression with a fixed seed —
- *   a deterministic, distributed drop-in for the TF sigmoid trainer.
+ *   weights come from [[EmbedLogistic.fitBalancedOn]] — the
+ *   deterministic class-balanced full-batch GD (integer micro-unit
+ *   class sums, nano-quantized steps), so the whole fit is replayed
+ *   bit-exactly by DuckDB ([[graft.oracle.OracleSqlVeer]]).
  * - WERL learns per-column weights over FIXED pre-trained embedding
  *   distances (/root/reference/werl.py:58-68): here the columns are
  *   RLTransE's per-field translated-cosine distances, embeddings
@@ -31,6 +33,22 @@ object Weights {
 
   final val VeerFeatures = Seq("jw", "lev", "cos")
 
+  /** Deterministic VEER fit defaults — the balanced-GD analogue of the
+    * r3 MLlib fit's maxIter=100 / reg=0.001. lr: the 3 channels live in
+    * [0, 1] and correlate (they share the record-similarity direction),
+    * so the balanced logistic Hessian's top eigenvalue is <= 0.25 *
+    * ||x||^2 ~ 0.75 — full-batch GD is monotone for lr < 2/0.75; 1.0
+    * converges in well under the 25-iteration grid cell. */
+  final val VeerIters = 100
+  final val VeerLr = 1.0
+  final val VeerReg = 0.001
+
+  /** Grid axes (SparkEntry's grid_veer and the DuckDB replay share
+    * these — the oracle unrolls one GD chain per reg and reads the
+    * lower-iteration cells as snapshots of the longer chain). */
+  final val VeerGridRegs = Seq(0.001, 0.1)
+  final val VeerGridIters = Seq(25, 100)
+
   /** Memoized per (session, sfDir): veer_weights and veer_metrics are
     * independently registered queries and would otherwise each run the
     * full mapPartitions scoring pass. */
@@ -38,6 +56,32 @@ object Weights {
     EntryStages.memo(spark, sfDir, "veer_scored") {
       Scorer.scoreDF(EntryStages.cand(spark, sfDir),
         Scorer.broadcastProjection(spark))
+    }
+
+  /** Micro-quantized (jw, lev, cos) feature arrays from ONE memoized
+    * scoring pass. jw/lev are engine-bit-identical doubles; the trigram
+    * cosine agrees with DuckDB only at the 1e-6 grid (double-summation
+    * order, see [[graft.oracle.OracleSql.scoredPairsFull]]) — so ALL
+    * channels enter the fit micro-quantized (floor(x*1e6+0.5)/1e6) and
+    * a 1-ulp divergence cannot leak into the GD. */
+  private def veerFeatDf(spark: SparkSession, sfDir: String): DataFrame =
+    EntryStages.memo(spark, sfDir, "veer_feats") {
+      veerScored(spark, sfDir).select(
+        Seq(col("idA"), col("idB"), col("label"),
+          col("split_a"), col("split_b"),
+          array(VeerFeatures.map(f =>
+            floor(col(f) * 1e6 + lit(0.5)) / 1e6): _*).as("feat")): _*)
+    }
+
+  /** One deterministic class-balanced GD fit over the channels,
+    * memoized per (session, sfDir, reg, iters) — grid cells and the
+    * default fit each train once. */
+  def veerFit(spark: SparkSession, sfDir: String, reg: Double,
+              iters: Int): EmbedLogistic.Fit =
+    EntryStages.memoModel(spark, sfDir, s"veer_fit:$reg:$iters") {
+      EmbedLogistic.fitBalancedOn(veerFeatDf(spark, sfDir),
+        EmbedLogistic.Config(dim = VeerFeatures.length, iters = iters,
+          lr = VeerLr, reg = reg))
     }
 
   private def withVec(df: DataFrame, feats: Seq[String]): DataFrame =
@@ -62,28 +106,38 @@ object Weights {
       .toDF("feature", "weight_micros")
   }
 
+  /** Match-confidence distance of a fit: 1 - sigmoid(logit), in
+    * [0, 1] — thresholdable by the standard 50-bucket train-split
+    * sweep and rank-equivalent to -logit. */
+  private def veerDist(fit: EmbedLogistic.Fit): Column =
+    lit(1.0) - lit(1.0) / (lit(1.0) +
+      exp(-EmbedLogistic.logitCol(fit, col("feat"))))
+
   /** VEER weights + test metrics from ONE scoring pass and ONE
-    * logistic fit, memoized per (session, sfDir) — veer_weights and
-    * veer_metrics are independently registered queries and previously
-    * each refit (and veer_metrics re-scored). The metrics row is
-    * materialized into a local DataFrame so later actions on it can't
-    * re-trigger the scoring lineage. */
+    * deterministic GD fit, memoized per (session, sfDir). The
+    * operating point is the engine's standard discipline: theta swept
+    * on the TRAIN split over dist = 1 - sigmoid(logit) (the balanced
+    * GD's logit >= 0 point is recall-heavy on the ~3%-positive pair
+    * distribution; the swept threshold recovers the F1-optimal point
+    * without touching test labels). The metrics row is materialized
+    * into a local DataFrame so later actions on it can't re-trigger
+    * the scoring lineage. */
   def veerWeightsAndMetrics(spark: SparkSession, sfDir: String):
       (DataFrame, DataFrame) =
     EntryStages.memoModel(spark, sfDir, "veer") {
-      val scored = veerScored(spark, sfDir)
-      val train = withVec(scored.filter(col("split_a") === "train" &&
-        col("split_b") === "train"), VeerFeatures)
-      val m = fitLr(train)
-      val test = m.transform(withVec(scored.filter(col("split_a") === "test" &&
-        col("split_b") === "test"), VeerFeatures))
+      val fit = veerFit(spark, sfDir, VeerReg, VeerIters)
+      val feats = veerFeatDf(spark, sfDir)
+      val dist = veerDist(fit)
+      val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+        feats, dist, col("label"))
+      val test = feats.filter(col("split_a") === "test" &&
+        col("split_b") === "test")
       val metrics = Metrics.pairMetrics(test,
-        (col("prediction") === 1.0).cast("int"), col("label"))
+        (dist <= lit(theta)).cast("int"), col("label"))
       val rows = metrics.collect()
       val local = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), metrics.schema)
-      (weightRows(spark, VeerFeatures, m.coefficients.toArray, m.intercept),
-        local)
+      (weightRows(spark, VeerFeatures, fit.w, fit.b), local)
     }
 
   /** VEER: learned weights over the raw (jw, lev, cos) channels. */
@@ -155,27 +209,23 @@ object Weights {
 
   /** Parameterized VEER eval for the grid harness
     * (/root/reference/tests/test_veer.py:100-133 sweeps the trainer's
-    * hyperparameters per combination): one row with test F1/P/R and
-    * MRR (ranking by the model's match probability). Reuses the
-    * memoized scoring pass; only the logistic fit varies per combo. */
+    * hyperparameters per combination): one row with test F1/P/R at
+    * the train-swept threshold and MRR (ranking by dist =
+    * 1 - sigmoid(logit)). Reuses the memoized feature pass; only the
+    * GD fit varies per combo. */
   def veerEval(spark: SparkSession, sfDir: String,
                regParam: Double, maxIter: Int): DataFrame = {
     import spark.implicits._
-    val scored = veerScored(spark, sfDir)
-    val train = withVec(scored.filter(col("split_a") === "train" &&
-      col("split_b") === "train"), VeerFeatures)
-    val m = new LogisticRegression()
-      .setLabelCol("label_d").setFeaturesCol("features")
-      .setMaxIter(maxIter).setRegParam(regParam).setTol(1e-9)
-      .fit(train)
-    val test = m.transform(withVec(scored.filter(col("split_a") === "test" &&
-      col("split_b") === "test"), VeerFeatures)).persist()
-    val pm = Metrics.pairMetrics(test,
-      (col("prediction") === 1.0).cast("int"), col("label")).head()
-    val dist = lit(1.0) - org.apache.spark.ml.functions
-      .vector_to_array(col("probability"))(1)
+    val fit = veerFit(spark, sfDir, regParam, maxIter)
+    val feats = veerFeatDf(spark, sfDir)
+    val dist = veerDist(fit)
+    val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+      feats, dist, col("label"))
+    val test = feats.filter(col("split_a") === "test" &&
+      col("split_b") === "test")
+    val pm = Metrics.pairMetrics(test, (dist <= lit(theta)).cast("int"),
+      col("label")).head()
     val ir = Metrics.irMetrics(test, dist, col("label")).head()
-    test.unpersist()
     Seq((regParam, maxIter.toLong, pm.getAs[Double]("f1"),
       pm.getAs[Double]("precision"), pm.getAs[Double]("recall"),
       ir.getAs[Double]("mrr")))

@@ -128,7 +128,7 @@ object OracleSql {
 )
 """
 
-  private def q(body: String): String = prefix + body
+  private[oracle] def q(body: String): String = prefix + body
 
   val recordsSynth: String = q(
     """SELECT id, side, repo, path, "commit", lang, content, dni, split,
@@ -148,9 +148,9 @@ object OracleSql {
   val ccClusters: String =
     "WITH RECURSIVE " + prefix.stripPrefix("WITH ") + """
 , fmax AS (SELECT max(f1) AS fm FROM sweep),
-blo AS (SELECT min(CAST(ceil(theta*50) AS BIGINT)) AS b FROM sweep, fmax WHERE f1 = fm),
-bhi AS (SELECT coalesce(min(CAST(ceil(theta*50) AS BIGINT)) - 1, (SELECT b FROM blo)) AS b
-        FROM sweep, fmax, blo WHERE CAST(ceil(theta*50) AS BIGINT) > blo.b AND f1 < fm),
+blo AS (SELECT min(CAST(round(theta*50) AS BIGINT)) AS b FROM sweep, fmax WHERE f1 = fm),
+bhi AS (SELECT coalesce(min(CAST(round(theta*50) AS BIGINT)) - 1, (SELECT b FROM blo)) AS b
+        FROM sweep, fmax, blo WHERE CAST(round(theta*50) AS BIGINT) > blo.b AND f1 < fm),
 theta_r AS (SELECT CAST(floor(((SELECT b FROM blo) + (SELECT b FROM bhi)) / 2.0) AS BIGINT) / 50.0 AS t),
 -- MATERIALIZED: the recursive closure below re-evaluates its joined
 -- CTEs per iteration; without this the whole jw/levenshtein scoring
@@ -238,7 +238,11 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
    * equal-content short-circuit mirrors Scorer's (1.0 without
    * computing kernels — also covers DuckDB's jw('','') = 0.0 edge).
    */
-  val scoredPairsFull: String = q(s""", pjsrc AS (
+  /** The trigram-embedding CTE block (projection matrix, FNV trigram
+    * fold, per-record bucket counts, `tgvec(id, v)` vectors) — shared
+    * by [[scoredPairsFull]] and the VEER replay
+    * ([[OracleSqlVeer]]). */
+  private[oracle] val tgvecCtes: String = s""", pjsrc AS (
   SELECT rb.bkt, rj.j
   FROM range(0, ${graft.sim.Embed.DefaultBuckets}) rb(bkt)
   CROSS JOIN range(0, ${graft.sim.Embed.DefaultDim}) rj(j)
@@ -280,7 +284,9 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
   GROUP BY t.id, p.j
 ), tgvec AS MATERIALIZED (
   SELECT id, list(av ORDER BY j) AS v FROM tgacc GROUP BY id
-)
+)"""
+
+  val scoredPairsFull: String = q(tgvecCtes + """
 SELECT f.idA, f.idB,
   CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.jw END AS jw,
   CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.lev END AS lev,
@@ -369,7 +375,7 @@ LEFT JOIN tgvec vb ON vb.id = f.idB""")
 
   /** The 7 field relations in rel-id order; single source of truth is
     * [[graft.graph.GraphBuild.Relations]]. */
-  private def relValSql(rel: String): String =
+  private[oracle] def relValSql(rel: String): String =
     if (rel == "block") "block_key" else rel
 
   private def readableSql(pairFilter: String): String = q(s""", topp AS (
@@ -408,7 +414,7 @@ LEFT JOIN tgvec vb ON vb.id = f.idB""")
       FROM (SELECT rec AS label FROM rawt UNION SELECT value FROM rawt)
     )"""
 
-  private val rawtCte = rawtCteWhere("")
+  private[oracle] val rawtCte = rawtCteWhere("")
 
   private val tripleSelect = """
     SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
@@ -949,7 +955,7 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
 
   /** Two's-complement view of an unsigned-64 HUGEINT — Scala `Long`
     * semantics for the sampler's `% length` index arithmetic. */
-  private def signed64(u: String): String =
+  private[oracle] def signed64(u: String): String =
     s"""(($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT
         THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"""
 

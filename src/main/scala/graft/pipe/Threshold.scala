@@ -74,8 +74,12 @@ object Threshold {
     // the sweep materializes only non-empty buckets; the F1-max plateau
     // extends from its first bucket to just before the next bucket
     // whose F1 degrades (empty buckets in between keep F1 constant).
+    // round(), NOT ceil(): theta = bucket/invStep is not binary-exact
+    // (56/50.0*50 = 56.0000000000000053), so ceil() COLLIDED adjacent
+    // buckets and could merge a plateau row with its degrading
+    // neighbour — round() is the exact inverse of the sweep's /invStep.
     val rows = sweep(scored, dist, label, invStep)
-      .select(ceil(col("theta") * invStep).cast("long").as("b"), col("f1"))
+      .select(round(col("theta") * invStep).cast("long").as("b"), col("f1"))
       .orderBy("b").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     if (rows.isEmpty) return 0.0

@@ -25,6 +25,18 @@ import graft.graph.GraphBuild
  * (order-independent -> bit-deterministic), and only model-sized rows
  * reach the driver. Entity/value rows re-normalize per epoch as the
  * reference normalizes per lookup.
+ *
+ * REPLAY DISCIPLINE (the DuckDB oracle re-runs the whole training,
+ * [[graft.oracle.OracleSqlKrEar]]): FNV-seeded init
+ * ([[TransE.initComponent]], matrix slots 0=ent 1=value 2=rel 3=attr
+ * 4=proj), fnvMix negative draws on integer keys, explicit-double
+ * per-dim chains in loop order, per-contribution micro-quantization
+ * before the order-free integer reduction, float-rounded model values
+ * — plus one extra rule the TransE replay doesn't need: `tanh` is NOT
+ * correctly rounded and may differ by 1 ulp between the JVM and
+ * DuckDB's libm, so every tanh OUTPUT is micro-quantized
+ * (floor(tanh(x)*1e6+0.5)/1e6) before any downstream use, in both
+ * engines.
  */
 object KrEar {
 
@@ -48,15 +60,25 @@ object KrEar {
       proj: Array[Array[Float]],
       relLoss: Array[Double], attrLoss: Array[Double])
 
-  private def mix(a: Long, b: Long): Long = {
-    var h = 0xcbf29ce484222325L ^ a
-    h = (h ^ (a >>> 32)) * 0x100000001b3L
-    h = (h ^ b) * 0x100000001b3L
-    h = (h ^ (b >>> 32)) * 0x100000001b3L
-    h
-  }
+  /** The sampler-oracle hash stream ([[NegativeSampler.fnvMix]]) —
+    * SQL-replayable, unlike the round-3 custom mix. */
+  private def mix(a: Long, b: Long): Long = NegativeSampler.fnvMix(a, b)
 
   private final val Micro = 1e6
+
+  /** floor(x*1e6+0.5) — quantizes per-triple gradient contributions to
+    * exact micro-units (see TransE.microQ). */
+  private def microQ(x: Double): Long = math.floor(x * Micro + 0.5).toLong
+
+  /** Micro-quantized tanh via `1 - 2/(exp(2x)+1)` — DuckDB v1.0 has no
+    * tanh builtin, so BOTH engines compute this exact formula (exp is
+    * then the only transcendental; the exp->Inf saturation limit is
+    * exactly ±1, no NaN) and snap to the 1e-6 lattice so a 1-ulp libm
+    * exp divergence cannot leak into scores or gradients. */
+  private def tanhQ(x: Double): Double = {
+    val t = 1.0 - 2.0 / (math.exp(x * 2.0) + 1.0)
+    math.floor(t * Micro + 0.5) / Micro
+  }
 
   /**
    * EAR id spaces from the ER dictionary: entities = records + targets
@@ -110,16 +132,15 @@ object KrEar {
     import spark.implicits._
     val nRel = GraphBuild.RelationalRels.size
     val nAttr = GraphBuild.AttributionalRels.size
-    val rnd = new java.util.Random(cfg.seed)
     val dim = cfg.dim
-    val bound = (6.0 / math.sqrt(dim)).toFloat
-    def init(n: Int) = Array.fill(n)(
-      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat * bound))
-    val ent = init(nEnt); ent.foreach(Embed.l2normalize)
-    val value = init(nVal); value.foreach(Embed.l2normalize)
-    val rel = init(nRel)
-    val attr = init(nAttr)
-    val proj = init(nAttr); proj.foreach(Embed.l2normalize)
+    def init(matId: Int, n: Int) = Array.tabulate(n)(row =>
+      Array.tabulate(dim)(j =>
+        TransE.initComponent(matId, row, j, cfg.seed, dim)))
+    val ent = init(0, nEnt); ent.foreach(Embed.l2normalize)
+    val value = init(1, nVal); value.foreach(Embed.l2normalize)
+    val rel = init(2, nRel)
+    val attr = init(3, nAttr)
+    val proj = init(4, nAttr); proj.foreach(Embed.l2normalize)
 
     // gradient row-id layout
     val offVal = nEnt.toLong
@@ -178,7 +199,8 @@ object KrEar {
             else proj((id - offProj).toInt)
           var i = 0
           while (i < dim) {
-            target(i) = (target(i) - cfg.lr * (gv(i) / Micro)).toFloat
+            target(i) =
+              (target(i).toDouble - cfg.lr * (gv(i).toDouble / Micro)).toFloat
             i += 1
           }
         }
@@ -201,11 +223,11 @@ object KrEar {
       val relRows = relData.mapPartitions { it =>
         val (e, _, r, _, _) = b.value
         val relSorted = relPackedB.value
-        val acc = new java.util.HashMap[Long, Array[Float]]()
-        var loss = 0.0
-        def g(id: Long): Array[Float] = {
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        var lossMicro = 0L
+        def g(id: Long): Array[Long] = {
           var v = acc.get(id)
-          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          if (v == null) { v = new Array[Long](dim); acc.put(id, v) }
           v
         }
         it.foreach { case (h, t, rl) =>
@@ -229,21 +251,23 @@ object KrEar {
               var pos = 0.0; var neg = 0.0
               var i = 0
               while (i < dim) {
-                pos += math.abs(eh(i) + er(i) - et(i))
-                neg += math.abs(eh(i) + ern(i) - et(i))
+                pos += math.abs(eh(i).toDouble + er(i) - et(i))
+                neg += math.abs(eh(i).toDouble + ern(i) - et(i))
                 i += 1
               }
               val l = pos - neg + margin
               if (l > 0) {
-                loss += l
+                lossMicro += microQ(l)
                 val gh = g(h); val gt = g(t)
                 val gr = g(offRel + rl); val grn = g(offRel + rNeg)
                 i = 0
                 while (i < dim) {
-                  val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                  val sn = math.signum(eh(i) + ern(i) - et(i)).toFloat
-                  gh(i) += sp - sn; gt(i) -= sp - sn
-                  gr(i) += sp; grn(i) -= sn
+                  val sp = math.signum(eh(i).toDouble + er(i) - et(i))
+                  val sn = math.signum(eh(i).toDouble + ern(i) - et(i))
+                  val dm = ((sp - sn) * Micro).toLong
+                  gh(i) += dm; gt(i) -= dm
+                  gr(i) += (sp * Micro).toLong
+                  grn(i) -= (sn * Micro).toLong
                   i += 1
                 }
               }
@@ -262,21 +286,23 @@ object KrEar {
               var pos = 0.0; var neg = 0.0
               var i = 0
               while (i < dim) {
-                pos += math.abs(eh(i) + er(i) - et(i))
-                neg += math.abs(eh(i) + er(i) - en(i))
+                pos += math.abs(eh(i).toDouble + er(i) - et(i))
+                neg += math.abs(eh(i).toDouble + er(i) - en(i))
                 i += 1
               }
               val l = pos - neg + margin
               if (l > 0) {
-                loss += l
+                lossMicro += microQ(l)
                 val gh = g(h); val gt = g(t); val gn = g(tNeg)
                 val gr = g(offRel + rl)
                 i = 0
                 while (i < dim) {
-                  val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                  val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
-                  gh(i) += sp - sn; gr(i) += sp - sn
-                  gt(i) -= sp; gn(i) += sn
+                  val sp = math.signum(eh(i).toDouble + er(i) - et(i))
+                  val sn = math.signum(eh(i).toDouble + er(i) - en(i))
+                  val dm = ((sp - sn) * Micro).toLong
+                  gh(i) += dm; gr(i) += dm
+                  gt(i) -= (sp * Micro).toLong
+                  gn(i) += (sn * Micro).toLong
                   i += 1
                 }
               }
@@ -287,46 +313,37 @@ object KrEar {
         import scala.jdk.CollectionConverters._
         val lossRow = {
           val a = new Array[Long](dim)
-          a(0) = math.rint(loss * Micro).toLong
+          a(0) = lossMicro
           (-1L, a)
         }
         Iterator.single(lossRow) ++
-          acc.entrySet().asScala.iterator.map { kv =>
-            val f = kv.getValue
-            val a = new Array[Long](dim)
-            var i = 0
-            while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
-            (kv.getKey, a)
-          }
+          acc.entrySet().asScala.iterator.map(kv => (kv.getKey, kv.getValue))
       }
-      val tRel0 = System.nanoTime()
       reduceApply(relRows, m => relLoss(ep) = m / Micro)
-      if (sys.env.contains("GRAFT_PROF"))
-        System.err.println(f"[krear] ep$ep rel ${(System.nanoTime() - tRel0) / 1e9}%.1f s")
       ent.foreach(Embed.l2normalize)
 
       // ---- attributional encoder: |tanh(h_proj + a) - v| hinge ----
       val b2 = spark.sparkContext.broadcast((ent, value, rel, attr, proj))
       val attrRows = attrData.mapPartitions { it =>
         val (e, vv, _, av, pj) = b2.value
-        val acc = new java.util.HashMap[Long, Array[Float]]()
-        var loss = 0.0
-        def g(id: Long): Array[Float] = {
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        var lossMicro = 0L
+        def g(id: Long): Array[Long] = {
           var v = acc.get(id)
-          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          if (v == null) { v = new Array[Long](dim); acc.put(id, v) }
           v
         }
-        // score + gradient of ||tanh(hp + a) - v||_1 wrt (h, a, v, n)
+        // score of ||tanhQ(hp + a) - v||_1 (quantized tanh — see tanhQ)
         def attrScore(h: Array[Float], n: Array[Float], a: Array[Float],
                       v: Array[Float]): Double = {
           var hn = 0.0
           var i = 0
-          while (i < dim) { hn += h(i) * n(i); i += 1 }
+          while (i < dim) { hn += h(i).toDouble * n(i); i += 1 }
           var s = 0.0
           i = 0
           while (i < dim) {
-            val hp = h(i) - hn * n(i)
-            s += math.abs(math.tanh(hp + a(i)) - v(i))
+            val hp = h(i).toDouble - hn * n(i)
+            s += math.abs(tanhQ(hp + a(i)) - v(i))
             i += 1
           }
           s
@@ -336,25 +353,24 @@ object KrEar {
         // hinge, whose pos and neg terms live on DIFFERENT attribute
         // hyperplanes (unlike the value-corruption loop below, which
         // shares one h_proj + a for both terms)
-        def accumAttrGrad(h: Long, at: Long, v: Long, sign: Float): Unit = {
-          val (e, vv, _, av, pj) = b2.value
+        def accumAttrGrad(h: Long, at: Long, v: Long, sign: Double): Unit = {
           val eh = e(h.toInt); val ev = vv(v.toInt)
           val ea = av(at.toInt); val nv = pj(at.toInt)
           val gh = g(h); val gv = g(offVal + v)
           val ga = g(offAttr + at); val gp = g(offProj + at)
           var hn = 0.0
           var i = 0
-          while (i < dim) { hn += eh(i) * nv(i); i += 1 }
-          val gHp = new Array[Float](dim)
+          while (i < dim) { hn += eh(i).toDouble * nv(i); i += 1 }
+          val gHp = new Array[Double](dim)
           i = 0
           while (i < dim) {
-            val hp = eh(i) - hn * nv(i)
-            val z = math.tanh(hp + ea(i))
+            val hp = eh(i).toDouble - hn * nv(i)
+            val z = tanhQ(hp + ea(i))
             val s = math.signum(z - ev(i))
-            val dz = ((1.0 - z * z) * s).toFloat * sign
+            val dz = (1.0 - z * z) * s * sign
             gHp(i) = dz
-            ga(i) += dz
-            gv(i) += (-s).toFloat * sign
+            ga(i) += microQ(dz)
+            gv(i) += microQ(-s * sign)
             i += 1
           }
           var gnd = 0.0
@@ -362,8 +378,8 @@ object KrEar {
           while (i < dim) { gnd += gHp(i) * nv(i); i += 1 }
           i = 0
           while (i < dim) {
-            gh(i) += (gHp(i) - gnd * nv(i)).toFloat
-            gp(i) += (-(gnd * eh(i) + hn * gHp(i))).toFloat
+            gh(i) += microQ(gHp(i) - gnd * nv(i))
+            gp(i) += microQ(-(gnd * eh(i).toDouble + hn * gHp(i)))
             i += 1
           }
         }
@@ -385,15 +401,14 @@ object KrEar {
               attTry += 1
             }
             if (aNeg >= 0) {
-              val (e, vv, _, av, pj) = b2.value
               val eh = e(h.toInt); val ev = vv(v.toInt)
               val pos = attrScore(eh, pj(at.toInt), av(at.toInt), ev)
               val neg = attrScore(eh, pj(aNeg.toInt), av(aNeg.toInt), ev)
               val l = pos - neg + margin
               if (l > 0) {
-                loss += l
-                accumAttrGrad(h, at, v, 1.0f)
-                accumAttrGrad(h, aNeg, v, -1.0f)
+                lossMicro += microQ(l)
+                accumAttrGrad(h, at, v, 1.0)
+                accumAttrGrad(h, aNeg, v, -1.0)
               }
             }
             jr += 1
@@ -412,29 +427,27 @@ object KrEar {
               val neg = attrScore(eh, nv, ea, en)
               val l = pos - neg + margin
               if (l > 0) {
-                loss += l
+                lossMicro += microQ(l)
                 val gh = g(h); val gv = g(offVal + v); val gn = g(offVal + vNeg)
                 val ga = g(offAttr + at); val gp = g(offProj + at)
                 var hn = 0.0
                 var i = 0
-                while (i < dim) { hn += eh(i) * nv(i); i += 1 }
+                while (i < dim) { hn += eh(i).toDouble * nv(i); i += 1 }
                 // accumulate d(loss)/d(hp) to backprop through the
                 // hyperplane projection in a second pass
-                val gHp = new Array[Float](dim)
+                val gHp = new Array[Double](dim)
                 i = 0
                 while (i < dim) {
-                  val hp = eh(i) - hn * nv(i)
-                  val zP = math.tanh(hp + ea(i))
-                  val zN = zP // same h_proj + a for pos and neg value
-                  val sP = math.signum(zP - ev(i))
-                  val sN = math.signum(zN - en(i))
-                  val dzP = (1.0 - zP * zP) * sP
-                  val dzN = (1.0 - zN * zN) * sN
-                  val dHpA = (dzP - dzN).toFloat
+                  val hp = eh(i).toDouble - hn * nv(i)
+                  val z = tanhQ(hp + ea(i))
+                  val sP = math.signum(z - ev(i))
+                  val sN = math.signum(z - en(i))
+                  val dz = 1.0 - z * z // same h_proj + a for pos and neg
+                  val dHpA = dz * sP - dz * sN
                   gHp(i) = dHpA
-                  ga(i) += dHpA
-                  gv(i) += (-sP).toFloat
-                  gn(i) += sN.toFloat
+                  ga(i) += microQ(dHpA)
+                  gv(i) += microQ(-sP)
+                  gn(i) += microQ(sN)
                   i += 1
                 }
                 // h gradient through (I - n n^T); n gradient
@@ -443,8 +456,8 @@ object KrEar {
                 while (i < dim) { gn_dot += gHp(i) * nv(i); i += 1 }
                 i = 0
                 while (i < dim) {
-                  gh(i) += (gHp(i) - gn_dot * nv(i)).toFloat
-                  gp(i) += (-(gn_dot * eh(i) + hn * gHp(i))).toFloat
+                  gh(i) += microQ(gHp(i) - gn_dot * nv(i))
+                  gp(i) += microQ(-(gn_dot * eh(i).toDouble + hn * gHp(i)))
                   i += 1
                 }
               }
@@ -455,22 +468,13 @@ object KrEar {
         import scala.jdk.CollectionConverters._
         val lossRow = {
           val a = new Array[Long](dim)
-          a(0) = math.rint(loss * Micro).toLong
+          a(0) = lossMicro
           (-1L, a)
         }
         Iterator.single(lossRow) ++
-          acc.entrySet().asScala.iterator.map { kv =>
-            val f = kv.getValue
-            val a = new Array[Long](dim)
-            var i = 0
-            while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
-            (kv.getKey, a)
-          }
+          acc.entrySet().asScala.iterator.map(kv => (kv.getKey, kv.getValue))
       }
-      val tAttr0 = System.nanoTime()
       reduceApply(attrRows, m => attrLoss(ep) = m / Micro)
-      if (sys.env.contains("GRAFT_PROF"))
-        System.err.println(f"[krear] ep$ep attr ${(System.nanoTime() - tAttr0) / 1e9}%.1f s")
       ent.foreach(Embed.l2normalize)
       value.foreach(Embed.l2normalize)
       proj.foreach(Embed.l2normalize)
@@ -481,10 +485,7 @@ object KrEar {
         rel.foreach(Embed.l2normalize)
         attr.foreach(Embed.l2normalize)
       }
-      val tD0 = System.nanoTime()
       b.destroy(); b2.destroy()
-      if (sys.env.contains("GRAFT_PROF"))
-        System.err.println(f"[krear] ep$ep destroy ${(System.nanoTime() - tD0) / 1e9}%.1f s")
       epoch += 1
     }
     relData.unpersist(); attrData.unpersist()

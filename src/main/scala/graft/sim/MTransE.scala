@@ -45,15 +45,14 @@ object MTransE {
       m: Array[Array[Float]], evolveVec: Array[Array[Float]],
       lossByEpoch: Array[Double])
 
-  private def mix(a: Long, b: Long): Long = {
-    var h = 0xcbf29ce484222325L ^ a
-    h = (h ^ (a >>> 32)) * 0x100000001b3L
-    h = (h ^ b) * 0x100000001b3L
-    h = (h ^ (b >>> 32)) * 0x100000001b3L
-    h
-  }
+  /** The sampler-oracle hash stream ([[NegativeSampler.fnvMix]]) —
+    * SQL-replayable, unlike the round-3 custom mix. */
+  private def mix(a: Long, b: Long): Long = NegativeSampler.fnvMix(a, b)
 
   private final val Micro = 1e6
+
+  /** floor(x*1e6+0.5) — per-contribution micro quantizer (TransE). */
+  private def microQ(x: Double): Long = math.floor(x * Micro + 0.5).toLong
 
   /** M v for a dim x dim row-major matrix. */
   private def matVec(m: Array[Array[Float]], v: Array[Float]): Array[Float] = {
@@ -63,7 +62,7 @@ object MTransE {
       val row = m(i)
       var s = 0.0
       var j = 0
-      while (j < v.length) { s += row(j) * v(j); j += 1 }
+      while (j < v.length) { s += row(j).toDouble * v(j); j += 1 }
       out(i) = s.toFloat
       i += 1
     }
@@ -81,17 +80,18 @@ object MTransE {
             nEntA: Int, nEntB: Int, nRel: Int,
             cfg: Config = Config()): Model = {
     import spark.implicits._
-    val rnd = new java.util.Random(cfg.seed)
     val dim = cfg.dim
-    val bound = (6.0 / math.sqrt(dim)).toFloat
-    def init(n: Int) = Array.fill(n)(
-      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat * bound))
-    val entA = init(nEntA); entA.foreach(Embed.l2normalize)
-    val entB = init(nEntB); entB.foreach(Embed.l2normalize)
-    val relA = init(nRel)
-    val relB = init(nRel)
-    val m = init(dim) // dim x dim alignment matrix, one row per id
-    val evolveVec = init(nRel)
+    // FNV-seeded init (TransE.initComponent), matrix slots 0..5 —
+    // SQL-replayable, order-independent
+    def init(matId: Int, n: Int) = Array.tabulate(n)(row =>
+      Array.tabulate(dim)(j =>
+        TransE.initComponent(matId, row, j, cfg.seed, dim)))
+    val entA = init(0, nEntA); entA.foreach(Embed.l2normalize)
+    val entB = init(1, nEntB); entB.foreach(Embed.l2normalize)
+    val relA = init(2, nRel)
+    val relB = init(3, nRel)
+    val m = init(4, dim) // dim x dim alignment matrix, one row per id
+    val evolveVec = init(5, nRel)
 
     val offB = nEntA.toLong
     val offRelA = offB + nEntB
@@ -142,7 +142,8 @@ object MTransE {
             else evolveVec((id - offEvo).toInt)
           var i = 0
           while (i < dim) {
-            target(i) = (target(i) - cfg.lr * (gv(i) / Micro)).toFloat
+            target(i) =
+              (target(i).toDouble - cfg.lr * (gv(i).toDouble / Micro)).toFloat
             i += 1
           }
         }
@@ -150,21 +151,15 @@ object MTransE {
       loss
     }
 
-    def emit(acc: java.util.HashMap[Long, Array[Float]], loss: Double) = {
+    def emit(acc: java.util.HashMap[Long, Array[Long]], lossMicro: Long) = {
       import scala.jdk.CollectionConverters._
       val lossRow = {
         val a = new Array[Long](dim)
-        a(0) = math.rint(loss * Micro).toLong
+        a(0) = lossMicro
         (-1L, a)
       }
       Iterator.single(lossRow) ++
-        acc.entrySet().asScala.iterator.map { kv =>
-          val f = kv.getValue
-          val a = new Array[Long](dim)
-          var i = 0
-          while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
-          (kv.getKey, a)
-        }
+        acc.entrySet().asScala.iterator.map(kv => (kv.getKey, kv.getValue))
     }
 
     var epoch = 0
@@ -186,11 +181,11 @@ object MTransE {
           val (ea, eb, ra, rb) = bb.value
           val e = if (side == 0) ea else eb
           val r = if (side == 0) ra else rb
-          val acc = new java.util.HashMap[Long, Array[Float]]()
-          var loss = 0.0
-          def g(id: Long): Array[Float] = {
+          val acc = new java.util.HashMap[Long, Array[Long]]()
+          var lossMicro = 0L
+          def g(id: Long): Array[Long] = {
             var v = acc.get(id)
-            if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+            if (v == null) { v = new Array[Long](dim); acc.put(id, v) }
             v
           }
           val sorted =
@@ -215,21 +210,23 @@ object MTransE {
                 var pos = 0.0; var neg = 0.0
                 var i = 0
                 while (i < dim) {
-                  pos += math.abs(eh(i) + er(i) - et(i))
-                  neg += math.abs(eh(i) + ern(i) - et(i))
+                  pos += math.abs(eh(i).toDouble + er(i) - et(i))
+                  neg += math.abs(eh(i).toDouble + ern(i) - et(i))
                   i += 1
                 }
                 val l = pos - neg + margin
                 if (l > 0) {
-                  loss += l
+                  lossMicro += microQ(l)
                   val gh = g(entOff + h); val gt = g(entOff + t)
                   val gr = g(relOff + rl); val grn = g(relOff + rNeg)
                   i = 0
                   while (i < dim) {
-                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                    val sn = math.signum(eh(i) + ern(i) - et(i)).toFloat
-                    gh(i) += sp - sn; gt(i) -= sp - sn
-                    gr(i) += sp; grn(i) -= sn
+                    val sp = math.signum(eh(i).toDouble + er(i) - et(i))
+                    val sn = math.signum(eh(i).toDouble + ern(i) - et(i))
+                    val dm = ((sp - sn) * Micro).toLong
+                    gh(i) += dm; gt(i) -= dm
+                    gr(i) += (sp * Micro).toLong
+                    grn(i) -= (sn * Micro).toLong
                     i += 1
                   }
                 }
@@ -246,21 +243,23 @@ object MTransE {
                 var pos = 0.0; var neg = 0.0
                 var i = 0
                 while (i < dim) {
-                  pos += math.abs(eh(i) + er(i) - et(i))
-                  neg += math.abs(eh(i) + er(i) - en(i))
+                  pos += math.abs(eh(i).toDouble + er(i) - et(i))
+                  neg += math.abs(eh(i).toDouble + er(i) - en(i))
                   i += 1
                 }
                 val l = pos - neg + margin
                 if (l > 0) {
-                  loss += l
+                  lossMicro += microQ(l)
                   val gh = g(entOff + h); val gt = g(entOff + t)
                   val gn = g(entOff + tNeg); val gr = g(relOff + rl)
                   i = 0
                   while (i < dim) {
-                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                    val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
-                    gh(i) += sp - sn; gr(i) += sp - sn
-                    gt(i) -= sp; gn(i) += sn
+                    val sp = math.signum(eh(i).toDouble + er(i) - et(i))
+                    val sn = math.signum(eh(i).toDouble + er(i) - en(i))
+                    val dm = ((sp - sn) * Micro).toLong
+                    gh(i) += dm; gr(i) += dm
+                    gt(i) -= (sp * Micro).toLong
+                    gn(i) += (sn * Micro).toLong
                     i += 1
                   }
                 }
@@ -268,7 +267,7 @@ object MTransE {
               j += 1
             }
           }
-          emit(acc, loss)
+          emit(acc, lossMicro)
         }
         val l = reduceApply(rows)
         bb.destroy()
@@ -292,11 +291,11 @@ object MTransE {
       val nEntBL = nEntB.toLong
       val rows = dataAl.mapPartitions { it =>
         val (ea, eb, mm, ev) = bb.value
-        val acc = new java.util.HashMap[Long, Array[Float]]()
-        var loss = 0.0
-        def g(id: Long): Array[Float] = {
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        var lossMicro = 0L
+        def g(id: Long): Array[Long] = {
           var v = acc.get(id)
-          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          if (v == null) { v = new Array[Long](dim); acc.put(id, v) }
           v
         }
         it.foreach { case (a, b, rl) =>
@@ -308,7 +307,8 @@ object MTransE {
             var s = 0.0
             var i = 0
             while (i < dim) {
-              val z = ma(i) + (if (vec != null) vec(i) else 0.0f) - vb(i)
+              val z = ma(i).toDouble +
+                (if (vec != null) vec(i).toDouble else 0.0) - vb(i)
               s += math.abs(z)
               i += 1
             }
@@ -316,12 +316,12 @@ object MTransE {
           }
           var j = 0
           var negSum = 0.0
-          val sigma = new Array[Float](dim) // sp - mean(sn)
+          val sigma = new Array[Double](dim) // sp - mean(sn)
           val vb = eb(b.toInt)
           var i = 0
           while (i < dim) {
-            sigma(i) = math.signum(
-              ma(i) + (if (vec != null) vec(i) else 0.0f) - vb(i)).toFloat
+            sigma(i) = math.signum(ma(i).toDouble +
+              (if (vec != null) vec(i).toDouble else 0.0) - vb(i))
             i += 1
           }
           val negIds = new Array[Long](negRate)
@@ -337,10 +337,12 @@ object MTransE {
             val negMean = negSum / nNeg
             val l = pos - negMean + margin
             if (l > 0) {
-              loss += l
-              val inv = 1.0f / nNeg
-              // effective sign vector: sigma_pos - mean_j sigma_negj
-              val eff = new Array[Float](dim)
+              lossMicro += microQ(l)
+              val inv = 1.0 / nNeg
+              // effective sign vector: sigma_pos - mean_j sigma_negj —
+              // exact multiples of 1/nNeg (nNeg <= 2), so every
+              // contribution below micro-quantizes exactly
+              val eff = new Array[Double](dim)
               i = 0
               while (i < dim) { eff(i) = sigma(i); i += 1 }
               j = 0
@@ -349,11 +351,10 @@ object MTransE {
                 val gn = g(offB + negIds(j))
                 i = 0
                 while (i < dim) {
-                  val sn = math.signum(
-                    ma(i) + (if (vec != null) vec(i) else 0.0f) - vn(i))
-                    .toFloat * inv
+                  val sn = math.signum(ma(i).toDouble +
+                    (if (vec != null) vec(i).toDouble else 0.0) - vn(i)) * inv
                   eff(i) -= sn
-                  gn(i) += sn // corrupted partner pushed away
+                  gn(i) += microQ(sn) // corrupted partner pushed away
                   i += 1
                 }
                 j += 1
@@ -363,22 +364,22 @@ object MTransE {
               val gv = if (vec != null) g(offEvo + rl) else null
               i = 0
               while (i < dim) {
-                gb(i) -= sigma(i)
-                if (gv != null) gv(i) += eff(i)
+                gb(i) -= microQ(sigma(i))
+                if (gv != null) gv(i) += microQ(eff(i))
                 // grad_a = M^T eff ; grad_M(row i) = eff_i * a
                 var s = 0.0
                 var k2 = 0
-                while (k2 < dim) { s += mm(k2)(i) * eff(k2); k2 += 1 }
-                gaRow(i) += s.toFloat
+                while (k2 < dim) { s += mm(k2)(i).toDouble * eff(k2); k2 += 1 }
+                gaRow(i) += microQ(s)
                 val gm = g(offM + i)
                 k2 = 0
-                while (k2 < dim) { gm(k2) += eff(i) * va(k2); k2 += 1 }
+                while (k2 < dim) { gm(k2) += microQ(eff(i) * va(k2)); k2 += 1 }
                 i += 1
               }
             }
           }
         }
-        emit(acc, loss)
+        emit(acc, lossMicro)
       }
       val lossAl = reduceApply(rows)
       bb.destroy()

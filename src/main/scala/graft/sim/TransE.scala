@@ -10,18 +10,33 @@ import org.apache.spark.sql.functions._
  * trained as parameter-averaged SGD: per epoch the weight matrices are
  * BROADCAST, each partition accumulates sparse gradients over its
  * triples with HASH-seeded (replayable) negative tail corruption
- * (/root/reference/common.py:72-129), gradients REDUCE BY ENTITY ID in
+ * (/root/reference/common.py:72-129), gradients REDUCE BY MODEL ROW in
  * one shuffle (exact integer micro-units, so the reduction is
  * order-independent and the training bit-deterministic), and only the
  * reduced model-sized rows reach the driver, which applies the update
  * + L2-normalizes entity rows (/root/reference/ER/transe.py:41-44).
  *
  * Scale shape: broadcast size is O(|entities| x dim) — the model, not
- * the data; gradient traffic is one shuffle of touched-entity rows per
- * epoch and the driver holds nothing data-sized. Embedding quality
+ * the data; gradient traffic is one shuffle of touched-row gradients
+ * per epoch and the driver holds nothing data-sized. Embedding quality
  * mirrors the reference's TransE tier (F1 0.2-0.6), far below the
  * string+cosine flagship — kept for operator parity, not as the
  * decision path.
+ *
+ * REPLAY DISCIPLINE (the DuckDB oracle re-runs the whole training,
+ * [[graft.oracle.OracleSqlTransE]]):
+ *  - init is FNV-seeded per (matrix, row, dim) — [[initComponent]] —
+ *    not a sequential java.util.Random stream;
+ *  - all per-dim arithmetic is EXPLICIT DOUBLE with left-to-right
+ *    accumulation order (the SQL unrolls the same literal chains);
+ *  - every per-triple gradient contribution is quantized to integer
+ *    MICRO-UNITS before the cross-triple sum, so the reduction is
+ *    exact integer addition — order-free in both engines (for plain
+ *    TransE the contributions are signum sums, already integers; the
+ *    floor(x*1e6+0.5) quantizer only matters for TransH);
+ *  - model values are FLOAT-rounded after each update/normalize —
+ *    IEEE round-to-nearest, the same CAST(.. AS REAL) the oracle
+ *    applies — so both engines walk the identical float lattice.
  *
  * Negative sampling can be restricted PER RELATION via
  * [[Config.tailRanges]]: corrupted tails are drawn from the relation's
@@ -36,8 +51,6 @@ object TransE {
    *        (/root/reference/VEG/rltranse.py:93-98 l2_normalize(pos_r)) —
    *        without it a frequently-hit relation's vector grows without
    *        bound under full-batch hinge gradients.
-   */
-  /**
    * @param negRelRate RELATION corruptions per triple per epoch on top
    *        of the `negRate` tail corruptions: a seeded draw of
    *        `r' != r` whose corrupted triple `(h, t, r')` does not exist
@@ -57,12 +70,25 @@ object TransE {
                          wRel: Array[Array[Float]],
                          lossByEpoch: Array[Double])
 
-  private def mix(a: Long, b: Long): Long = {
-    var h = 0xcbf29ce484222325L ^ a
-    h = (h ^ (a >>> 32)) * 0x100000001b3L
-    h = (h ^ b) * 0x100000001b3L
-    h = (h ^ (b >>> 32)) * 0x100000001b3L
-    h
+  /** Seeded mix shared with the sampler oracles — the ONE hash stream
+    * the DuckDB side already replays ([[NegativeSampler.fnvMix]] /
+    * OracleSql.fnvMixChainW). */
+  private def mix(a: Long, b: Long): Long = NegativeSampler.fnvMix(a, b)
+
+  /**
+   * FNV-seeded uniform init in [-bound, bound): matrix `matId` (8
+   * per-trainer stream slots: TransE uses 0=ent, 1=rel, 2=wRel; KrEar
+   * 0..4; MTransE its own set) row `row` dim `j`, bound = 6/sqrt(dim)
+   * (the reference's Xavier-style range,
+   * /root/reference/ER/transe.py:33-36). A pure function of its
+   * arguments — SQL-replayable and independent of init ORDER, unlike
+   * the java.util.Random stream it replaces.
+   */
+  private[graft] def initComponent(matId: Int, row: Int, j: Int,
+                                   seed: Long, dim: Int): Float = {
+    val h = mix(row.toLong * 8L + matId, seed * 64L + j)
+    val u = (h >>> 11).toDouble / 9007199254740992.0
+    ((u * 2.0 - 1.0) * (6.0 / math.sqrt(dim))).toFloat
   }
 
   /** Gradients ship as exact integer micro-units: long addition is
@@ -70,29 +96,31 @@ object TransE {
     * order-independent and training deterministic. */
   private final val Micro = 1e6
 
+  /** Integer micro-unit quantizer (floor(x*1e6 + 0.5), NOT rint:
+    * half-up ties replay as `floor(x*1000000.0 + 0.5)` in SQL, where
+    * rint's half-even would not). */
+  private def microQ(x: Double): Long = math.floor(x * Micro + 0.5).toLong
+
   /**
    * @param triples (h, t, r, idx) with dense ids in [0, nEnt) /
    *                [0, nRel); `idx` is any deterministic instance-unique
    *                long used to seed that instance's negative samples
    *                (duplicate (h,t,r) instances with different idx draw
    *                DIFFERENT negatives, as the reference's per-instance
-   *                sampler does).
+   *                sampler does). [[packedIdx]] is the replayable choice.
    */
   def train(spark: SparkSession, triples: DataFrame, nEnt: Int, nRel: Int,
             cfg: Config = Config()): Model = {
     import spark.implicits._
-    val rnd = new java.util.Random(cfg.seed)
-    val bound = (6.0 / math.sqrt(cfg.dim)).toFloat
-    def init(n: Int) = Array.fill(n) {
-      val v = Array.fill(cfg.dim)((rnd.nextDouble() * 2 - 1).toFloat * bound)
-      v
-    }
-    val ent = init(nEnt)
+    def init(matId: Int, n: Int) = Array.tabulate(n)(row =>
+      Array.tabulate(cfg.dim)(j => initComponent(matId, row, j, cfg.seed,
+        cfg.dim)))
+    val ent = init(0, nEnt)
     ent.foreach(Embed.l2normalize)
-    val rel = init(nRel)
+    val rel = init(1, nRel)
     // TransH per-relation hyperplane normals (unit length,
     // /root/reference/ER/transh.py:114-122)
-    val wRel = init(nRel)
+    val wRel = init(2, nRel)
     wRel.foreach(Embed.l2normalize)
     // Few wide partitions: each partition emits one dense gradient row
     // per entity it touches, so gradient-shuffle volume scales with
@@ -129,15 +157,20 @@ object TransE {
       val tailRanges = cfg.tailRanges
       val nEntL = nEnt.toLong
       val nRelL = nRel.toLong
-      // per-partition sparse gradients + loss, emitted as micro-unit rows
+      // per-partition sparse gradients + loss, as micro-unit long rows;
+      // keys: entity id in [0, nEnt); relation row at nEnt + r;
+      // hyperplane row at nEnt + nRel + r; loss at -1. One key per
+      // model row (head- and tail-role gradients MERGE here), so the
+      // driver applies exactly one update per touched row — no
+      // order-dependent double-rounding of the same float row.
       val grads = data.mapPartitions { it =>
         val (e, r, wv) = entB.value
         val sortedPacked = packedB.value
-        val acc = new java.util.HashMap[Long, Array[Float]]()
-        var loss = 0.0
-        def g(id: Long): Array[Float] = {
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        var lossMicro = 0L
+        def g(id: Long): Array[Long] = {
           var v = acc.get(id)
-          if (v == null) { v = new Array[Float](dim); acc.put(id, v) }
+          if (v == null) { v = new Array[Long](dim); acc.put(id, v) }
           v
         }
         it.foreach { case (h, t, rl, idx) =>
@@ -157,21 +190,24 @@ object TransE {
                 var pos = 0.0; var neg = 0.0
                 var i = 0
                 while (i < dim) {
-                  pos += math.abs(eh(i) + er(i) - et(i))
-                  neg += math.abs(eh(i) + er(i) - en(i))
+                  pos += math.abs(eh(i).toDouble + er(i) - et(i))
+                  neg += math.abs(eh(i).toDouble + er(i) - en(i))
                   i += 1
                 }
                 val l = pos - neg + margin
                 if (l > 0) {
-                  loss += l
-                  val gh = g(h); val gt = g(nEntL + t); val gn = g(nEntL + tNeg)
-                  val gr = g(2 * nEntL + rl)
+                  lossMicro += microQ(l)
+                  val gh = g(h); val gt = g(t); val gn = g(tNeg)
+                  val gr = g(nEntL + rl)
                   i = 0
                   while (i < dim) {
-                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                    val sn = math.signum(eh(i) + er(i) - en(i)).toFloat
-                    gh(i) += sp - sn; gr(i) += sp - sn
-                    gt(i) -= sp; gn(i) += sn
+                    // exact integers: signum of nonzero doubles is ±1
+                    val sp = math.signum(eh(i).toDouble + er(i) - et(i))
+                    val sn = math.signum(eh(i).toDouble + er(i) - en(i))
+                    val d = ((sp - sn) * Micro).toLong
+                    gh(i) += d; gr(i) += d
+                    gt(i) -= (sp * Micro).toLong
+                    gn(i) += (sn * Micro).toLong
                     i += 1
                   }
                 }
@@ -181,42 +217,46 @@ object TransE {
                 var wduP = 0.0; var wduN = 0.0
                 var i = 0
                 while (i < dim) {
-                  wduP += w(i) * (eh(i) - et(i))
-                  wduN += w(i) * (eh(i) - en(i))
+                  wduP += w(i).toDouble * (eh(i).toDouble - et(i))
+                  wduN += w(i).toDouble * (eh(i).toDouble - en(i))
                   i += 1
                 }
                 var pos = 0.0; var neg = 0.0
                 i = 0
                 while (i < dim) {
-                  pos += math.abs(eh(i) - et(i) - wduP * w(i) + er(i))
-                  neg += math.abs(eh(i) - en(i) - wduN * w(i) + er(i))
+                  pos += math.abs(eh(i).toDouble - et(i) - wduP * w(i) + er(i))
+                  neg += math.abs(eh(i).toDouble - en(i) - wduN * w(i) + er(i))
                   i += 1
                 }
                 val l = pos - neg + margin
                 if (l > 0) {
-                  loss += l
+                  lossMicro += microQ(l)
                   var swP = 0.0; var swN = 0.0
                   i = 0
                   while (i < dim) {
-                    swP += math.signum(eh(i) - et(i) - wduP * w(i) + er(i)) * w(i)
-                    swN += math.signum(eh(i) - en(i) - wduN * w(i) + er(i)) * w(i)
+                    swP += math.signum(
+                      eh(i).toDouble - et(i) - wduP * w(i) + er(i)) * w(i)
+                    swN += math.signum(
+                      eh(i).toDouble - en(i) - wduN * w(i) + er(i)) * w(i)
                     i += 1
                   }
-                  val gh = g(h); val gt = g(nEntL + t); val gn = g(nEntL + tNeg)
-                  val gr = g(2 * nEntL + rl)
-                  val gw = g(2 * nEntL + nRelL + rl)
+                  val gh = g(h); val gt = g(t); val gn = g(tNeg)
+                  val gr = g(nEntL + rl)
+                  val gw = g(nEntL + nRelL + rl)
                   i = 0
                   while (i < dim) {
-                    val sp = math.signum(eh(i) - et(i) - wduP * w(i) + er(i))
-                    val sn = math.signum(eh(i) - en(i) - wduN * w(i) + er(i))
-                    val projP = (sp - swP * w(i)).toFloat
-                    val projN = (sn - swN * w(i)).toFloat
-                    gh(i) += projP - projN
-                    gt(i) -= projP
-                    gn(i) += projN
-                    gr(i) += (sp - sn).toFloat
-                    gw(i) += (-(swP * (eh(i) - et(i)) + wduP * sp)
-                      + (swN * (eh(i) - en(i)) + wduN * sn)).toFloat
+                    val sp = math.signum(
+                      eh(i).toDouble - et(i) - wduP * w(i) + er(i))
+                    val sn = math.signum(
+                      eh(i).toDouble - en(i) - wduN * w(i) + er(i))
+                    val projP = sp - swP * w(i)
+                    val projN = sn - swN * w(i)
+                    gh(i) += microQ(projP - projN)
+                    gt(i) -= microQ(projP)
+                    gn(i) += microQ(projN)
+                    gr(i) += microQ(sp - sn)
+                    gw(i) += microQ(-(swP * (eh(i).toDouble - et(i)) + wduP * sp)
+                      + (swN * (eh(i).toDouble - en(i)) + wduN * sn))
                     i += 1
                   }
                 }
@@ -246,21 +286,23 @@ object TransE {
                 var pos = 0.0; var neg = 0.0
                 var i = 0
                 while (i < dim) {
-                  pos += math.abs(eh(i) + er(i) - et(i))
-                  neg += math.abs(eh(i) + ern(i) - et(i))
+                  pos += math.abs(eh(i).toDouble + er(i) - et(i))
+                  neg += math.abs(eh(i).toDouble + ern(i) - et(i))
                   i += 1
                 }
                 val l = pos - neg + margin
                 if (l > 0) {
-                  loss += l
-                  val gh = g(h); val gt = g(nEntL + t)
-                  val gr = g(2 * nEntL + rl); val grn = g(2 * nEntL + rNeg)
+                  lossMicro += microQ(l)
+                  val gh = g(h); val gt = g(t)
+                  val gr = g(nEntL + rl); val grn = g(nEntL + rNeg)
                   i = 0
                   while (i < dim) {
-                    val sp = math.signum(eh(i) + er(i) - et(i)).toFloat
-                    val sn = math.signum(eh(i) + ern(i) - et(i)).toFloat
-                    gh(i) += sp - sn; gt(i) -= sp - sn
-                    gr(i) += sp; grn(i) -= sn
+                    val sp = math.signum(eh(i).toDouble + er(i) - et(i))
+                    val sn = math.signum(eh(i).toDouble + ern(i) - et(i))
+                    val d = ((sp - sn) * Micro).toLong
+                    gh(i) += d; gt(i) -= d
+                    gr(i) += (sp * Micro).toLong
+                    grn(i) -= (sn * Micro).toLong
                     i += 1
                   }
                 }
@@ -271,42 +313,47 @@ object TransE {
                 var wduP = 0.0; var wduN = 0.0
                 var i = 0
                 while (i < dim) {
-                  wduP += w(i) * (eh(i) - et(i))
-                  wduN += w2(i) * (eh(i) - et(i))
+                  wduP += w(i).toDouble * (eh(i).toDouble - et(i))
+                  wduN += w2(i).toDouble * (eh(i).toDouble - et(i))
                   i += 1
                 }
                 var pos = 0.0; var neg = 0.0
                 i = 0
                 while (i < dim) {
-                  pos += math.abs(eh(i) - et(i) - wduP * w(i) + er(i))
-                  neg += math.abs(eh(i) - et(i) - wduN * w2(i) + ern(i))
+                  pos += math.abs(eh(i).toDouble - et(i) - wduP * w(i) + er(i))
+                  neg += math.abs(eh(i).toDouble - et(i) - wduN * w2(i) + ern(i))
                   i += 1
                 }
                 val l = pos - neg + margin
                 if (l > 0) {
-                  loss += l
+                  lossMicro += microQ(l)
                   var swP = 0.0; var swN = 0.0
                   i = 0
                   while (i < dim) {
-                    swP += math.signum(eh(i) - et(i) - wduP * w(i) + er(i)) * w(i)
-                    swN += math.signum(eh(i) - et(i) - wduN * w2(i) + ern(i)) * w2(i)
+                    swP += math.signum(
+                      eh(i).toDouble - et(i) - wduP * w(i) + er(i)) * w(i)
+                    swN += math.signum(
+                      eh(i).toDouble - et(i) - wduN * w2(i) + ern(i)) * w2(i)
                     i += 1
                   }
-                  val gh = g(h); val gt = g(nEntL + t)
-                  val gr = g(2 * nEntL + rl); val grn = g(2 * nEntL + rNeg)
-                  val gw = g(2 * nEntL + nRelL + rl)
-                  val gw2 = g(2 * nEntL + nRelL + rNeg)
+                  val gh = g(h); val gt = g(t)
+                  val gr = g(nEntL + rl); val grn = g(nEntL + rNeg)
+                  val gw = g(nEntL + nRelL + rl)
+                  val gw2 = g(nEntL + nRelL + rNeg)
                   i = 0
                   while (i < dim) {
-                    val sp = math.signum(eh(i) - et(i) - wduP * w(i) + er(i))
-                    val sn = math.signum(eh(i) - et(i) - wduN * w2(i) + ern(i))
-                    val projP = (sp - swP * w(i)).toFloat
-                    val projN = (sn - swN * w2(i)).toFloat
-                    gh(i) += projP - projN
-                    gt(i) -= projP - projN
-                    gr(i) += sp.toFloat; grn(i) -= sn.toFloat
-                    gw(i) += (-(swP * (eh(i) - et(i)) + wduP * sp)).toFloat
-                    gw2(i) += (swN * (eh(i) - et(i)) + wduN * sn).toFloat
+                    val sp = math.signum(
+                      eh(i).toDouble - et(i) - wduP * w(i) + er(i))
+                    val sn = math.signum(
+                      eh(i).toDouble - et(i) - wduN * w2(i) + ern(i))
+                    val projP = sp - swP * w(i)
+                    val projN = sn - swN * w2(i)
+                    gh(i) += microQ(projP - projN)
+                    gt(i) -= microQ(projP - projN)
+                    gr(i) += (sp * Micro).toLong
+                    grn(i) -= (sn * Micro).toLong
+                    gw(i) += microQ(-(swP * (eh(i).toDouble - et(i)) + wduP * sp))
+                    gw2(i) += microQ(swN * (eh(i).toDouble - et(i)) + wduN * sn)
                     i += 1
                   }
                 }
@@ -318,19 +365,13 @@ object TransE {
         import scala.jdk.CollectionConverters._
         val lossRow = {
           val a = new Array[Long](dim)
-          a(0) = math.rint(loss * Micro).toLong
+          a(0) = lossMicro
           (-1L, a)
         }
         Iterator.single(lossRow) ++
-          acc.entrySet().asScala.iterator.map { kv =>
-            val f = kv.getValue
-            val a = new Array[Long](dim)
-            var i = 0
-            while (i < dim) { a(i) = math.rint(f(i) * Micro).toLong; i += 1 }
-            (kv.getKey, a)
-          }
+          acc.entrySet().asScala.iterator.map(kv => (kv.getKey, kv.getValue))
       }
-      // ONE shuffle: exact element-wise long sums per entity id; only
+      // ONE shuffle: exact element-wise long sums per model row; only
       // the reduced (model-sized) rows reach the driver.
       val reduced = grads.groupByKey(_._1).reduceGroups { (a, b) =>
         val s = new Array[Long](a._2.length)
@@ -344,12 +385,13 @@ object TransE {
         else {
           val target =
             if (id < nEntL) ent(id.toInt)
-            else if (id < 2 * nEntL) ent((id - nEntL).toInt)
-            else if (id < 2 * nEntL + nRelL) rel((id - 2 * nEntL).toInt)
-            else wRel((id - 2 * nEntL - nRelL).toInt)
+            else if (id < nEntL + nRelL) rel((id - nEntL).toInt)
+            else wRel((id - nEntL - nRelL).toInt)
           var i = 0
           while (i < cfg.dim) {
-            target(i) = (target(i) - cfg.lr * (gv(i) / Micro)).toFloat; i += 1
+            target(i) =
+              (target(i).toDouble - cfg.lr * (gv(i).toDouble / Micro)).toFloat
+            i += 1
           }
         }
       }
@@ -370,6 +412,16 @@ object TransE {
     Model(ent, rel, wRel, losses)
   }
 
+  /** The replayable per-instance seed: the packed triple id
+    * `(h*nRel + r)*nEnt + t` — unique because the graph's (h, t, r)
+    * facts are distinct, and bounded integer arithmetic the DuckDB
+    * oracle reproduces exactly (the round-3 xxhash64 seed was opaque
+    * to SQL). Overflows 64 bits only past ~2^24 entities x 2^16
+    * relations — far beyond the driver-collectable model size this
+    * trainer already requires. */
+  private[graft] def packedIdx(nEnt: Long, nRel: Long) =
+    (col("h") * nRel + col("r")) * nEnt + col("t")
+
   /**
    * End-to-end TransE linkage eval over the ER graph: train, attach
    * record entity ids by JOIN (the id map is data-sized — it never
@@ -382,13 +434,10 @@ object TransE {
     import spark.implicits._
     val ents = graft.graph.GraphBuild.erEntities(spark, sfDir)
     val nEnt = ents.count().toInt
-    // instance seed mixes h, t AND r — the round-2 h-and-t-only seed
-    // collided for same-endpoint triples with different relations,
-    // which then drew identical negative samples
+    val nRel = graft.graph.GraphBuild.Relations.size
     val triples = graft.graph.GraphBuild.erTriples(spark, sfDir)
-      .withColumn("idx", xxhash64(col("h"), col("t"), col("r")))
-    val model = train(spark, triples, nEnt,
-      graft.graph.GraphBuild.Relations.size, cfg)
+      .withColumn("idx", packedIdx(nEnt.toLong, nRel.toLong))
+    val model = train(spark, triples, nEnt, nRel, cfg)
     // record label -> entity id resolved by join, not a driver map
     val recEnt = ents.filter(col("label").rlike("^r[0-9]+$"))
       .select(substring(col("label"), 2, 20).cast("long").as("rid"),
