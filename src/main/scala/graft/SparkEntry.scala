@@ -167,8 +167,9 @@ object SparkEntry {
     // (/root/reference/tests/er/test_transe.py:90-121)
     "grid_transe" -> ((s, d) =>
       eval.GridSearch.sweep(s,
-        eval.GridSearch.grid("dim" -> Seq(8.0, 16.0),
-          "neg_rel_rate" -> Seq(0.0, 1.0)),
+        eval.GridSearch.grid(
+          "dim" -> sim.TransE.GridDims.map(_.toDouble),
+          "neg_rel_rate" -> sim.TransE.GridNegRel.map(_.toDouble)),
         p => sim.TransE.eval(s, d, sim.TransE.Config(
           dim = p("dim").toInt,
           negRelRate = p("neg_rel_rate").toInt)))),
@@ -264,6 +265,7 @@ object SparkEntry {
     "stream_link_pairs" -> OracleSql.streamLinkPairs,
     "transe_eval" -> oracle.OracleSqlTransE.transeEval,
     "transh_eval" -> oracle.OracleSqlTransE.transhEval,
+    "grid_transe" -> oracle.OracleSqlTransE.gridTranse,
     "embed_logistic_metrics" -> oracle.OracleSqlTransE.embedLogisticMetrics,
     "embed_logistic_weights" -> oracle.OracleSqlTransE.embedLogisticWeights,
     "krear_eval" -> oracle.OracleSqlKrEar.krearEval,

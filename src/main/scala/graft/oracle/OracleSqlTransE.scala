@@ -15,7 +15,10 @@ import graft.sim.TransE
  *    oracles;
  *  - negative tails are fnvMix draws keyed by the PACKED triple id
  *    ((h*nRel + r)*nEnt + t) and the (epoch, j) counter — pure integer
- *    inputs both engines share;
+ *    inputs both engines share; relation corruptions (neg_rel_rate)
+ *    are the same stream salted by [[TransE.RelCorruptSalt]], with the
+ *    16-attempt rejection against the packed triple index replayed as
+ *    a first-valid-attempt window over an anti-join;
  *  - per-triple gradient contributions are quantized to integer
  *    micro-units BEFORE the cross-triple sum (plain TransE's signum
  *    sums are already integers; TransH's projected gradients go
@@ -25,27 +28,19 @@ import graft.sim.TransE
  *    cosines) is unrolled LITERALLY LEFT-TO-RIGHT, matching the Scala
  *    loops' accumulation order, and model values are float-rounded
  *    (CAST .. AS REAL = .toFloat) after each update/normalize, so both
- *    engines walk the identical float lattice;
- *  - everything downstream (robust train-split theta plateau,
- *    confusion counts, micro-unit MRR) is the integer-count discipline
- *    the flagship oracles already use.
+ *    engines walk the identical float lattice.
  *
- * The replays cover the REGISTERED configs (TransE.Config() defaults,
- * tail corruption only, for `transe_eval`; + transH=true for
- * `transh_eval`) — the negRelRate / tailRanges variants stay rows-only
- * with ScalaTest bands.
+ * The replay core lives in [[Replay]], parameterized by embedding
+ * width, neg_rel_rate and a CTE-name prefix: the default instance
+ * (D = Config().dim, no relation corruption, prefix "te") serves
+ * `transe_eval` / `transh_eval` / the KrEar/MTransE/EmbedLogistic
+ * oracles; `grid_transe` instantiates one replay per (dim,
+ * neg_rel_rate) combo and UNIONs the four summary rows.
  */
 object OracleSqlTransE {
 
   private val Cfg = TransE.Config()
-  private val D = Cfg.dim
   private val NRel = graft.graph.GraphBuild.Relations.size
-  private[oracle] def dims = 0 until D
-
-  /** Literal left-to-right sum chain over the dims. */
-  private[oracle] def chain(f: Int => String): String = dims.map(f).mkString(" + ")
-
-  private[oracle] def csv(f: Int => String): String = dims.map(f).mkString(",\n    ")
 
   /** floor(x*1e6 + 0.5) micro-unit quantizer — [[TransE]]'s microQ. */
   private[oracle] def microQ(x: String): String =
@@ -58,40 +53,68 @@ object OracleSqlTransE {
     b
   }
 
-  /** (h >>> 11)/2^53 -> [-bound, bound) float init component — the SQL
-    * image of [[TransE.initComponent]]'s tail given the chain column. */
-  private[oracle] def initExpr(h: String): String =
-    s"CAST((CAST($h >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0)" +
-      s" * (6.0 / sqrt(${D}.0)) AS REAL)"
+  /**
+   * One parameterized trainer replay. `tag` prefixes every CTE name
+   * (the default "te" reproduces the historical te_* names), so
+   * several replays can share one statement (grid_transe).
+   *
+   * `sharedTag` points the DIM-INDEPENDENT CTEs (triple set, negative
+   * tail draws, relation-corruption draws — pure functions of the
+   * graph and the seed stream, identical across embedding widths) at
+   * another replay's names: the grid emits them once and every combo
+   * reuses them.
+   */
+  private[oracle] final class Replay(val D: Int, val negRelRate: Int,
+                                     val tag: String,
+                                     val sharedTag: Option[String] = None) {
 
-  /** L2 normalization pair: stage 1 computes the squared norm `s` from
-    * columns `<in>0..`, stage 2 emits `<out>d` float-rounded. */
-  private[oracle] def normStage2(inPfx: String, outPfx: String): String =
-    csv(d => s"CASE WHEN s > 0 THEN CAST($inPfx$d::DOUBLE * (1.0 / sqrt(s))" +
-      s" AS REAL) ELSE $inPfx$d END AS $outPfx$d")
+    private def t(s: String): String = tag + "_" + s
 
-  /** Matrix init CTEs: fnv chain over (rowExpr*4 + matId, seed*64 + j),
-    * pivot to wide columns `<outPfx>0..`, optional L2 normalization —
-    * the SQL image of TransE.train's init block. */
-  private[oracle] def initMatrix(sb: StringBuilder, chainPre: String, srcCte: String,
-                         rowCol: String, matId: Int, xBytes: Int,
-                         outCte: String, idCol: String, outPfx: String,
-                         normalize: Boolean): Unit = {
-    val seedY = Cfg.seed * 64
-    sb ++= OracleSql.fnvMixChainW(chainPre, srcCte,
-      s"($rowCol * 8 + $matId)::HUGEINT", s"($seedY + j)::HUGEINT",
-      xBytes, bytesFor(seedY + D - 1))
-    val pivot = csv(d =>
-      s"max(CASE WHEN j = $d THEN ${initExpr(chainPre + "_h")} END) AS c$d")
-    if (!normalize) {
-      sb ++= s"""
+    /** Name of a shared (dim-independent) CTE: the sharing source's
+      * when borrowing, this replay's own otherwise. */
+    private def sh(s: String): String = sharedTag.getOrElse(tag) + "_" + s
+
+    def dims: Range = 0 until D
+
+    /** Literal left-to-right sum chain over the dims. */
+    def chain(f: Int => String): String = dims.map(f).mkString(" + ")
+
+    def csv(f: Int => String): String = dims.map(f).mkString(",\n    ")
+
+    /** (h >>> 11)/2^53 -> [-bound, bound) float init component — the SQL
+      * image of [[TransE.initComponent]]'s tail given the chain column. */
+    def initExpr(h: String): String =
+      s"CAST((CAST($h >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0)" +
+        s" * (6.0 / sqrt(${D}.0)) AS REAL)"
+
+    /** L2 normalization pair: stage 1 computes the squared norm `s` from
+      * columns `<in>0..`, stage 2 emits `<out>d` float-rounded. */
+    def normStage2(inPfx: String, outPfx: String): String =
+      csv(d => s"CASE WHEN s > 0 THEN CAST($inPfx$d::DOUBLE * (1.0 / sqrt(s))" +
+        s" AS REAL) ELSE $inPfx$d END AS $outPfx$d")
+
+    /** Matrix init CTEs: fnv chain over (rowExpr*8 + matId, seed*64 + j),
+      * pivot to wide columns `<outPfx>0..`, optional L2 normalization —
+      * the SQL image of TransE.train's init block. */
+    def initMatrix(sb: StringBuilder, chainPre: String, srcCte: String,
+                   rowCol: String, matId: Int, xBytes: Int,
+                   outCte: String, idCol: String, outPfx: String,
+                   normalize: Boolean): Unit = {
+      val seedY = Cfg.seed * 64
+      sb ++= OracleSql.fnvMixChainW(chainPre, srcCte,
+        s"($rowCol * 8 + $matId)::HUGEINT", s"($seedY + j)::HUGEINT",
+        xBytes, bytesFor(seedY + D - 1))
+      val pivot = csv(d =>
+        s"max(CASE WHEN j = $d THEN ${initExpr(chainPre + "_h")} END) AS c$d")
+      if (!normalize) {
+        sb ++= s"""
 , $outCte AS MATERIALIZED (
   SELECT $rowCol AS $idCol,
     ${csv(d => s"max(CASE WHEN j = $d THEN ${initExpr(chainPre + "_h")} END) AS $outPfx$d")}
   FROM ${chainPre}4 GROUP BY $rowCol
 )"""
-    } else {
-      sb ++= s"""
+      } else {
+        sb ++= s"""
 , ${outCte}w AS (
   SELECT $rowCol AS $idCol, $pivot
   FROM ${chainPre}4 GROUP BY $rowCol
@@ -102,29 +125,29 @@ object OracleSqlTransE {
   SELECT $idCol, ${normStage2("c", outPfx)}
   FROM ${outCte}s
 )"""
+      }
     }
-  }
 
-  /** One epoch's update CTE for a matrix whose gradient keys start at
-    * `keyBase` ("" = the row id itself), optionally L2-normalized. */
-  private[oracle] def updateMatrix(sb: StringBuilder, e: Int, inCte: String,
-                           outCte: String, idCol: String, pfx: String,
-                           keyBase: String, normalize: Boolean): Unit = {
-    val key = if (keyBase.isEmpty) s"m.$idCol" else s"$keyBase + m.$idCol"
-    val from =
-      if (keyBase.isEmpty) s"$inCte m LEFT JOIN te_g$e g ON g.tgt = $key"
-      else s"$inCte m CROSS JOIN te_n LEFT JOIN te_g$e g ON g.tgt = $key"
-    val upd = csv(d => s"CAST((m.$pfx$d::DOUBLE - ${Cfg.lr}::DOUBLE * " +
-      s"(COALESCE(g.g$d, 0)::DOUBLE / 1000000.0)) AS REAL) AS u$d")
-    if (!normalize) {
-      sb ++= s"""
+    /** One epoch's update CTE for a matrix whose gradient keys start at
+      * `keyBase` ("" = the row id itself), optionally L2-normalized. */
+    def updateMatrix(sb: StringBuilder, e: Int, inCte: String,
+                     outCte: String, idCol: String, pfx: String,
+                     keyBase: String, normalize: Boolean): Unit = {
+      val key = if (keyBase.isEmpty) s"m.$idCol" else s"$keyBase + m.$idCol"
+      val from =
+        if (keyBase.isEmpty) s"$inCte m LEFT JOIN ${t(s"g$e")} g ON g.tgt = $key"
+        else s"$inCte m CROSS JOIN ${sh("n")} LEFT JOIN ${t(s"g$e")} g ON g.tgt = $key"
+      val upd = csv(d => s"CAST((m.$pfx$d::DOUBLE - ${Cfg.lr}::DOUBLE * " +
+        s"(COALESCE(g.g$d, 0)::DOUBLE / 1000000.0)) AS REAL) AS u$d")
+      if (!normalize) {
+        sb ++= s"""
 , $outCte AS MATERIALIZED (
   SELECT m.$idCol, ${csv(d => s"CAST((m.$pfx$d::DOUBLE - ${Cfg.lr}::DOUBLE * " +
-        s"(COALESCE(g.g$d, 0)::DOUBLE / 1000000.0)) AS REAL) AS $pfx$d")}
+          s"(COALESCE(g.g$d, 0)::DOUBLE / 1000000.0)) AS REAL) AS $pfx$d")}
   FROM $from
 )"""
-    } else {
-      sb ++= s"""
+      } else {
+        sb ++= s"""
 , ${outCte}u AS (
   SELECT $idCol, ${dims.map(d => s"u$d").mkString(", ")},
     (${chain(d => s"u$d::DOUBLE * u$d::DOUBLE")}) AS s
@@ -137,94 +160,180 @@ object OracleSqlTransE {
   SELECT $idCol, ${normStage2("u", pfx)}
   FROM ${outCte}u
 )"""
+      }
     }
-  }
 
-  /** The ER-graph triple select ([[OracleSql.graphErTriples]]'s body). */
-  private val erTripleSelect = """
-  SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
-  FROM rawt
-  JOIN ents eh ON eh.label = rawt.rec
-  JOIN ents et ON et.label = rawt.value"""
+    /** Record label -> model-row id: the ER-dictionary default
+      * (TransE/TransH score over the ER entity matrix directly). */
+    def recentCte: String = s"""
+, ${t("recent")} AS (
+  SELECT CAST(substr(label, 2) AS BIGINT) AS rid, ent_id
+  FROM ents WHERE regexp_matches(label, '^r[0-9]+$$')
+)"""
 
-  /** The ERER joint-KG triple select (ER triples + `same_as` prior
-    * edges, [[OracleSql.graphErerJointTriples]]'s body). */
-  private val jointTripleSelect = erTripleSelect + s"""
-  UNION ALL
-  SELECT ra.ent_id, rb.ent_id, CAST($NRel AS BIGINT)
-  FROM (SELECT idA, idB FROM cand
-        WHERE dni_a = dni_b AND dni_a % 10 < 3) p
-  JOIN ents ra ON ra.label = 'r' || CAST(p.idA AS VARCHAR)
-  JOIN ents rb ON rb.label = 'r' || CAST(p.idB AS VARCHAR)"""
-
-  /** Shared training scaffolding + per-epoch unroll: rawt/ents, packed
-    * idx, FNV init, negative draws, `epochs` rounds of gradient +
-    * update CTEs. Leaves `te_e<epochs>` as the trained entity matrix. */
-  private def trainCtes(sb: StringBuilder, transH: Boolean, nRel: Int,
-                        epochs: Int, tripleSelect: String): Unit = {
-    val negKeyMax = epochs.toLong * Cfg.negRate - 1
-    sb ++= OracleSql.rawtCte
-    sb ++= s"""
-, te_n AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM ents)
-, te_rawtrip AS ($tripleSelect)
-, te_trip AS MATERIALIZED (
-  SELECT h, t, r, (h * $nRel + r) * te_n.ne + t AS idx
-  FROM te_rawtrip CROSS JOIN te_n
-)
-, te_isrc AS (SELECT e.ent_id AS row, rj.j FROM ents e CROSS JOIN range(0, $D) rj(j))
-, te_rsrc AS (SELECT rr.rid, rj.j FROM range(0, $nRel) rr(rid) CROSS JOIN range(0, $D) rj(j))"""
-    initMatrix(sb, "tei", "te_isrc", "row", 0, 5, "te_e0", "ent_id", "e",
-      normalize = true)
-    // relation rows are NOT normalized under the registered configs
-    // (normalizeRel=false, negRelRate=0), mirroring TransE.train
-    initMatrix(sb, "ter", "te_rsrc", "rid", 1, 2, "te_r0", "rid", "r",
-      normalize = false)
-    if (transH)
-      initMatrix(sb, "tew", "te_rsrc", "rid", 2, 2, "te_w0", "rid", "w",
+    /** Shared training scaffolding + per-epoch unroll: rawt/ents, packed
+      * idx, FNV init, negative draws, `epochs` rounds of gradient +
+      * update CTEs. Leaves `<tag>_e<epochs>` as the trained entity
+      * matrix. `includeBase = false` skips the shared rawt/ents CTEs
+      * (grid statement emits them once). */
+    def trainCtes(sb: StringBuilder, transH: Boolean, nRel: Int,
+                  epochs: Int, tripleSelect: String,
+                  includeBase: Boolean = true): Unit = {
+      if (includeBase) sb ++= OracleSql.rawtCte
+      if (sharedTag.isEmpty) tripleCtes(sb, nRel, tripleSelect)
+      sb ++= s"""
+, ${t("isrc")} AS (SELECT e.ent_id AS row, rj.j FROM ents e CROSS JOIN range(0, $D) rj(j))
+, ${t("rsrc")} AS (SELECT rr.rid, rj.j FROM range(0, $nRel) rr(rid) CROSS JOIN range(0, $D) rj(j))"""
+      initMatrix(sb, tag + "i", t("isrc"), "row", 0, 5, t("e0"), "ent_id", "e",
         normalize = true)
-    sb ++= s"""
-, te_negsrc AS (
+      // relation rows are normalized per epoch ONLY under relation
+      // corruption (or normalizeRel), mirroring TransE.train — and
+      // never at init
+      initMatrix(sb, tag + "r", t("rsrc"), "rid", 1, 2, t("r0"), "rid", "r",
+        normalize = false)
+      if (transH)
+        initMatrix(sb, tag + "w", t("rsrc"), "rid", 2, 2, t("w0"), "rid", "w",
+          normalize = true)
+      if (sharedTag.isEmpty) negCtes(sb, nRel, epochs)
+      for (e <- 0 until epochs) {
+        if (!transH) plainEpoch(sb, e) else transHEpoch(sb, e, nRel)
+        updateMatrix(sb, e, t(s"e$e"), t(s"e${e + 1}"), "ent_id", "e",
+          "", normalize = true)
+        updateMatrix(sb, e, t(s"r$e"), t(s"r${e + 1}"), "rid", "r",
+          s"${sh("n")}.ne", normalize = negRelRate > 0)
+        if (transH)
+          updateMatrix(sb, e, t(s"w$e"), t(s"w${e + 1}"), "rid", "w",
+            s"${sh("n")}.ne + $nRel", normalize = true)
+      }
+    }
+
+    /** Just the DIM-INDEPENDENT CTEs under this replay's tag — the
+      * grid's sharing source (emit once, every combo borrows via
+      * `sharedTag`). */
+    def sharedOnlyCtes(sb: StringBuilder, nRel: Int, epochs: Int,
+                       tripleSelect: String): Unit = {
+      tripleCtes(sb, nRel, tripleSelect)
+      negCtes(sb, nRel, epochs)
+    }
+
+    private def tripleCtes(sb: StringBuilder, nRel: Int,
+                           tripleSelect: String): Unit = {
+      sb ++= s"""
+, ${sh("n")} AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM ents)
+, ${t("rawtrip")} AS ($tripleSelect)
+, ${sh("trip")} AS MATERIALIZED (
+  SELECT h, t, r, (h * $nRel + r) * ${sh("n")}.ne + t AS idx
+  FROM ${t("rawtrip")} CROSS JOIN ${sh("n")}
+)"""
+    }
+
+    private def negCtes(sb: StringBuilder, nRel: Int,
+                        epochs: Int): Unit = {
+      val negKeyMax = epochs.toLong * Cfg.negRate - 1
+      sb ++= s"""
+, ${t("negsrc")} AS (
   SELECT t.h, t.t, t.r, t.idx, e.ep, j.j
-  FROM te_trip t
+  FROM ${sh("trip")} t
   CROSS JOIN range(0, $epochs) e(ep)
   CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
-    sb ++= OracleSql.fnvMixChainW("ten", "te_negsrc",
-      "idx::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT",
-      7, bytesFor(negKeyMax max 1))
-    sb ++= s"""
-, te_negs AS MATERIALIZED (
+      sb ++= OracleSql.fnvMixChainW(tag + "n", t("negsrc"),
+        "idx::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT",
+        7, bytesFor(negKeyMax max 1))
+      sb ++= s"""
+, ${sh("negs")} AS MATERIALIZED (
   SELECT h, t, r, ep, tn FROM (
     SELECT h, t, r, ep,
-      CAST((((${OracleSql.signed64("ten_h")}) % te_n.ne) + te_n.ne) % te_n.ne AS BIGINT) AS tn
-    FROM ten4 CROSS JOIN te_n
+      CAST((((${OracleSql.signed64(tag + "n_h")}) % ${sh("n")}.ne) + ${sh("n")}.ne) % ${sh("n")}.ne AS BIGINT) AS tn
+    FROM ${tag}n4 CROSS JOIN ${sh("n")}
   ) WHERE tn <> t
 )"""
-    for (e <- 0 until epochs) {
-      if (!transH) plainEpoch(sb, e) else transHEpoch(sb, e, nRel)
-      updateMatrix(sb, e, s"te_e$e", s"te_e${e + 1}", "ent_id", "e",
-        "", normalize = true)
-      updateMatrix(sb, e, s"te_r$e", s"te_r${e + 1}", "rid", "r",
-        "te_n.ne", normalize = false)
-      if (transH)
-        updateMatrix(sb, e, s"te_w$e", s"te_w${e + 1}", "rid", "w",
-          s"te_n.ne + $nRel", normalize = true)
+      if (negRelRate > 0) negRelCtes(sb, nRel, epochs)
     }
-  }
 
-  /** Trainer + linkage eval (transe_eval / transh_eval). */
-  private def evalSql(transH: Boolean): String = {
-    val sb = new StringBuilder
-    trainCtes(sb, transH, NRel, Cfg.epochs, erTripleSelect)
-    sb ++= scoringSql(s"te_e${Cfg.epochs}")
-    OracleSql.q(sb.toString)
-  }
+    /** How many of the 16 rejection attempts to expand eagerly: the
+      * rest run only for the rare (triple, epoch, jr) keys with no
+      * stage-A winner (reject ~2/nRel per attempt, so ~4-8% of keys
+      * reach stage B) — ~5x fewer hash chains than a flat 16-attempt
+      * expansion, same first-valid-attempt-wins winner set (the stages
+      * partition the attempt sequence in order). */
+    private val RelStageA = 2
 
-  /** Plain-TransE epoch: active hinges (L1 margin over h+r-t vs
-    * h+r-t'), integer signum gradients — TransE.train's !transH arm. */
-  private def plainEpoch(sb: StringBuilder, e: Int): Unit = {
-    sb ++= s"""
-, te_ac$e AS MATERIALIZED (
+    /** Relation-corruption draws, precomputed for all epochs: per
+      * (triple, epoch, jr) up to 16 salted attempts; an attempt is
+      * valid iff its drawn relation differs from the triple's AND the
+      * corrupted (h, t, r') is not a real triple (anti-join on the
+      * packed id — TransE.train's binarySearch rejection); the FIRST
+      * valid attempt wins. Staged A/B as documented on [[RelStageA]]. */
+    private def negRelCtes(sb: StringBuilder, nRel: Int,
+                           epochs: Int): Unit = {
+      val yk = (attSrc: String) =>
+        s"""xor(${TransE.RelCorruptSalt}::BIGINT,
+        ((k.ep * $negRelRate + k.jr) * 31 + $attSrc)::BIGINT)::HUGEINT AS yk"""
+      // one winner CTE per stage: rn from the chain, validity by
+      // rejection rules, min-attempt row kept
+      def stage(st: String, srcCte: String): Unit = {
+        sb ++= OracleSql.fnvMixChainW(tag + "rn" + st, srcCte,
+          "idx::HUGEINT", "yk", 7, 8)
+        sb ++= s"""
+, ${t("rwin" + st)} AS MATERIALIZED (
+  SELECT h, t, r, idx, ep, jr, rn FROM (
+    SELECT h, t, r, idx, ep, jr, rn,
+      row_number() OVER (PARTITION BY idx, ep, jr ORDER BY att) AS k
+    FROM (
+      SELECT d.h, d.t, d.r, d.idx, d.ep, d.jr, d.att, d.rn
+      FROM (
+        SELECT c.h, c.t, c.r, c.idx, c.ep, c.jr, c.att,
+          CAST((((${OracleSql.signed64(tag + "rn" + st + "_h")}) % $nRel) + $nRel) % $nRel AS BIGINT) AS rn
+        FROM ${tag}rn${st}4 c
+      ) d
+      CROSS JOIN ${sh("n")}
+      LEFT JOIN ${sh("trip")} x ON x.idx = (d.h * $nRel + d.rn) * ${sh("n")}.ne + d.t
+      WHERE d.rn <> d.r AND x.idx IS NULL
+    )
+  ) WHERE k = 1
+)"""
+      }
+      sb ++= s"""
+, ${t("rkeys")} AS (
+  SELECT t.h, t.t, t.r, t.idx, e.ep, jr.jr
+  FROM ${sh("trip")} t
+  CROSS JOIN range(0, $epochs) e(ep)
+  CROSS JOIN range(0, $negRelRate) jr(jr)
+)
+, ${t("rnegsrcA")} AS (
+  SELECT k.h, k.t, k.r, k.idx, k.ep, k.jr, a.att,
+    ${yk("a.att")}
+  FROM ${t("rkeys")} k CROSS JOIN range(0, $RelStageA) a(att)
+)"""
+      stage("A", t("rnegsrcA"))
+      sb ++= s"""
+, ${t("rnegsrcB")} AS (
+  SELECT k.h, k.t, k.r, k.idx, k.ep, k.jr, a.att,
+    ${yk("a.att")}
+  FROM ${t("rkeys")} k
+  CROSS JOIN range($RelStageA, 16) a(att)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ${t("rwinA")} w
+    WHERE w.idx = k.idx AND w.ep = k.ep AND w.jr = k.jr
+  )
+)"""
+      stage("B", t("rnegsrcB"))
+      sb ++= s"""
+, ${sh("rnegs")} AS MATERIALIZED (
+  SELECT h, t, r, ep, rn FROM ${t("rwinA")}
+  UNION ALL
+  SELECT h, t, r, ep, rn FROM ${t("rwinB")}
+)"""
+    }
+
+    /** Plain-TransE epoch: active hinges (L1 margin over h+r-t vs
+      * h+r-t'), integer signum gradients — TransE.train's !transH arm.
+      * Under relation corruption a second hinge block contributes
+      * (h+r-t vs h+r'-t) gradients to the same per-row sum. */
+    private def plainEpoch(sb: StringBuilder, e: Int): Unit = {
+      sb ++= s"""
+, ${t(s"ac$e")} AS MATERIALIZED (
   SELECT h, t, tn, r,
     ${csv(d => s"CASE WHEN p$d > 0 THEN 1 WHEN p$d < 0 THEN -1 ELSE 0 END AS sp$d")},
     ${csv(d => s"CASE WHEN q$d > 0 THEN 1 WHEN q$d < 0 THEN -1 ELSE 0 END AS sn$d")}
@@ -232,36 +341,66 @@ object OracleSqlTransE {
     SELECT n.h, n.t, n.tn, n.r,
       ${csv(d => s"(eh.e$d::DOUBLE + rr.r$d::DOUBLE - et.e$d::DOUBLE) AS p$d")},
       ${csv(d => s"(eh.e$d::DOUBLE + rr.r$d::DOUBLE - en.e$d::DOUBLE) AS q$d")}
-    FROM te_negs n
-    JOIN te_e$e eh ON eh.ent_id = n.h
-    JOIN te_e$e et ON et.ent_id = n.t
-    JOIN te_e$e en ON en.ent_id = n.tn
-    JOIN te_r$e rr ON rr.rid = n.r
+    FROM ${sh("negs")} n
+    JOIN ${t(s"e$e")} eh ON eh.ent_id = n.h
+    JOIN ${t(s"e$e")} et ON et.ent_id = n.t
+    JOIN ${t(s"e$e")} en ON en.ent_id = n.tn
+    JOIN ${t(s"r$e")} rr ON rr.rid = n.r
     WHERE n.ep = $e
   )
   WHERE (${chain(d => s"abs(p$d)")}) - (${chain(d => s"abs(q$d)")}) + ${Cfg.margin} > 0
-)
-, te_g$e AS MATERIALIZED (
+)"""
+      val relTerms =
+        if (negRelRate == 0) ""
+        else {
+          sb ++= s"""
+, ${t(s"rac$e")} AS MATERIALIZED (
+  SELECT h, t, r, rn,
+    ${csv(d => s"CASE WHEN p$d > 0 THEN 1 WHEN p$d < 0 THEN -1 ELSE 0 END AS sp$d")},
+    ${csv(d => s"CASE WHEN q$d > 0 THEN 1 WHEN q$d < 0 THEN -1 ELSE 0 END AS sn$d")}
+  FROM (
+    SELECT n.h, n.t, n.r, n.rn,
+      ${csv(d => s"(eh.e$d::DOUBLE + rr.r$d::DOUBLE - et.e$d::DOUBLE) AS p$d")},
+      ${csv(d => s"(eh.e$d::DOUBLE + rn2.r$d::DOUBLE - et.e$d::DOUBLE) AS q$d")}
+    FROM ${sh("rnegs")} n
+    JOIN ${t(s"e$e")} eh ON eh.ent_id = n.h
+    JOIN ${t(s"e$e")} et ON et.ent_id = n.t
+    JOIN ${t(s"r$e")} rr ON rr.rid = n.r
+    JOIN ${t(s"r$e")} rn2 ON rn2.rid = n.rn
+    WHERE n.ep = $e
+  )
+  WHERE (${chain(d => s"abs(p$d)")}) - (${chain(d => s"abs(q$d)")}) + ${Cfg.margin} > 0
+)"""
+          s"""
+    UNION ALL SELECT h, ${csv(d => s"(sp$d - sn$d) * 1000000")} FROM ${t(s"rac$e")}
+    UNION ALL SELECT t, ${csv(d => s"-(sp$d - sn$d) * 1000000")} FROM ${t(s"rac$e")}
+    UNION ALL SELECT ${sh("n")}.ne + r, ${csv(d => s"sp$d * 1000000")}
+      FROM ${t(s"rac$e")} CROSS JOIN ${sh("n")}
+    UNION ALL SELECT ${sh("n")}.ne + rn, ${csv(d => s"-sn$d * 1000000")}
+      FROM ${t(s"rac$e")} CROSS JOIN ${sh("n")}"""
+        }
+      sb ++= s"""
+, ${t(s"g$e")} AS MATERIALIZED (
   SELECT tgt, ${dims.map(d => s"SUM(g$d) AS g$d").mkString(", ")}
   FROM (
-    SELECT h AS tgt, ${csv(d => s"(sp$d - sn$d) * 1000000 AS g$d")} FROM te_ac$e
-    UNION ALL SELECT t, ${csv(d => s"-sp$d * 1000000")} FROM te_ac$e
-    UNION ALL SELECT tn, ${csv(d => s"sn$d * 1000000")} FROM te_ac$e
-    UNION ALL SELECT te_n.ne + r, ${csv(d => s"(sp$d - sn$d) * 1000000")}
-      FROM te_ac$e CROSS JOIN te_n
+    SELECT h AS tgt, ${csv(d => s"(sp$d - sn$d) * 1000000 AS g$d")} FROM ${t(s"ac$e")}
+    UNION ALL SELECT t, ${csv(d => s"-sp$d * 1000000")} FROM ${t(s"ac$e")}
+    UNION ALL SELECT tn, ${csv(d => s"sn$d * 1000000")} FROM ${t(s"ac$e")}
+    UNION ALL SELECT ${sh("n")}.ne + r, ${csv(d => s"(sp$d - sn$d) * 1000000")}
+      FROM ${t(s"ac$e")} CROSS JOIN ${sh("n")}$relTerms
   ) GROUP BY tgt
 )"""
-  }
+    }
 
-  /** TransH epoch: hyperplane-projected L1 hinge
-    * v = (h - t) - (w.(h - t)) w + d_r, projected subgradients, each
-    * contribution micro-quantized — TransE.train's transH arm. The
-    * layered subqueries keep every expression referenced ONCE per
-    * level (dtP/dtN -> wduP/wduN -> termP/termN -> sp/sn -> swP/swN),
-    * mirroring the Scala kernel's intermediate variables. */
-  private def transHEpoch(sb: StringBuilder, e: Int, nRel: Int): Unit = {
-    sb ++= s"""
-, te_ac$e AS MATERIALIZED (
+    /** TransH epoch: hyperplane-projected L1 hinge
+      * v = (h - t) - (w.(h - t)) w + d_r, projected subgradients, each
+      * contribution micro-quantized — TransE.train's transH arm. The
+      * layered subqueries keep every expression referenced ONCE per
+      * level (dtP/dtN -> wduP/wduN -> termP/termN -> sp/sn -> swP/swN),
+      * mirroring the Scala kernel's intermediate variables. */
+    private def transHEpoch(sb: StringBuilder, e: Int, nRel: Int): Unit = {
+      sb ++= s"""
+, ${t(s"ac$e")} AS MATERIALIZED (
   SELECT h, t, tn, r,
     ${dims.map(d => s"sp$d").mkString(", ")},
     ${dims.map(d => s"sn$d").mkString(", ")},
@@ -289,12 +428,12 @@ object OracleSqlTransE {
             ${csv(d => s"(eh.e$d::DOUBLE - en.e$d::DOUBLE) AS dtN$d")},
             ${csv(d => s"ww.w$d::DOUBLE AS wd$d")},
             ${csv(d => s"rr.r$d::DOUBLE AS re$d")}
-          FROM te_negs n
-          JOIN te_e$e eh ON eh.ent_id = n.h
-          JOIN te_e$e et ON et.ent_id = n.t
-          JOIN te_e$e en ON en.ent_id = n.tn
-          JOIN te_r$e rr ON rr.rid = n.r
-          JOIN te_w$e ww ON ww.rid = n.r
+          FROM ${sh("negs")} n
+          JOIN ${t(s"e$e")} eh ON eh.ent_id = n.h
+          JOIN ${t(s"e$e")} et ON et.ent_id = n.t
+          JOIN ${t(s"e$e")} en ON en.ent_id = n.tn
+          JOIN ${t(s"r$e")} rr ON rr.rid = n.r
+          JOIN ${t(s"w$e")} ww ON ww.rid = n.r
           WHERE n.ep = $e
         )
       )
@@ -302,61 +441,43 @@ object OracleSqlTransE {
     WHERE (${chain(d => s"abs(termP$d)")}) - (${chain(d => s"abs(termN$d)")}) + ${Cfg.margin} > 0
   )
 )
-, te_g$e AS MATERIALIZED (
+, ${t(s"g$e")} AS MATERIALIZED (
   SELECT tgt, ${dims.map(d => s"SUM(g$d) AS g$d").mkString(", ")}
   FROM (
     SELECT h AS tgt, ${csv(d => microQ(
-      s"(sp$d - swP * wd$d) - (sn$d - swN * wd$d)") + s" AS g$d")} FROM te_ac$e
-    UNION ALL SELECT t, ${csv(d => "-" + microQ(s"sp$d - swP * wd$d"))} FROM te_ac$e
-    UNION ALL SELECT tn, ${csv(d => microQ(s"sn$d - swN * wd$d"))} FROM te_ac$e
-    UNION ALL SELECT te_n.ne + r, ${csv(d => s"(sp$d - sn$d) * 1000000")}
-      FROM te_ac$e CROSS JOIN te_n
-    UNION ALL SELECT te_n.ne + $nRel + r, ${csv(d => microQ(
+      s"(sp$d - swP * wd$d) - (sn$d - swN * wd$d)") + s" AS g$d")} FROM ${t(s"ac$e")}
+    UNION ALL SELECT t, ${csv(d => "-" + microQ(s"sp$d - swP * wd$d"))} FROM ${t(s"ac$e")}
+    UNION ALL SELECT tn, ${csv(d => microQ(s"sn$d - swN * wd$d"))} FROM ${t(s"ac$e")}
+    UNION ALL SELECT ${sh("n")}.ne + r, ${csv(d => s"(sp$d - sn$d) * 1000000")}
+      FROM ${t(s"ac$e")} CROSS JOIN ${sh("n")}
+    UNION ALL SELECT ${sh("n")}.ne + $nRel + r, ${csv(d => microQ(
       s"(-((swP * dtP$d) + (wduP * sp$d))) + ((swN * dtN$d) + (wduN * sn$d))"))}
-      FROM te_ac$e CROSS JOIN te_n
+      FROM ${t(s"ac$e")} CROSS JOIN ${sh("n")}
   ) GROUP BY tgt
 )"""
-  }
+    }
 
-  /** Record label -> model-row id: the ER-dictionary default
-    * (TransE/TransH score over the ER entity matrix directly). */
-  private[oracle] val DefaultRecent: String = """
-, te_recent AS (
-  SELECT CAST(substr(label, 2) AS BIGINT) AS rid, ent_id
-  FROM ents WHERE regexp_matches(label, '^r[0-9]+$')
-)"""
-
-  /** Final-model cosine scoring over the candidate pairs, robust
-    * train-split theta plateau, test confusion + micro-unit MRR — the
-    * SQL image of TransE.pairScores + TransE.eval. `recentCte` supplies
-    * the record->model-row dictionary (KrEar remaps through its own
-    * dense entity dictionary). */
-  private[oracle] def scoringSql(fin: String,
-                                 recentCte: String = DefaultRecent,
-                                 dimOut: Long = D.toLong,
-                                 epochsOut: Long = Cfg.epochs.toLong): String =
-    s"""$recentCte
-, te_tj AS (
+    /** Candidate pairs joined to the final model through the
+      * record->model-row dictionary CTE named `<tag>_recent`. */
+    def tjCte(fin: String): String = s"""
+, ${t("tj")} AS (
   SELECT c.idA, c.idB,
     CAST(CASE WHEN c.dni_a = c.dni_b THEN 1 ELSE 0 END AS BIGINT) AS label,
     c.split_a, c.split_b,
     ${csv(d => s"ea.e$d AS a$d")},
     ${csv(d => s"eb.e$d AS b$d")}
   FROM cand c
-  JOIN te_recent ra ON ra.rid = c.idA
+  JOIN ${t("recent")} ra ON ra.rid = c.idA
   JOIN $fin ea ON ea.ent_id = ra.ent_id
-  JOIN te_recent rb ON rb.rid = c.idB
+  JOIN ${t("recent")} rb ON rb.rid = c.idB
   JOIN $fin eb ON eb.ent_id = rb.ent_id
-)""" + scoringTail(dimOut, epochsOut)
+)"""
 
-  /** The scoring tail after `te_tj` (which must carry idA, idB, label,
-    * split_a, split_b, a0.., b0..): cosine dists, robust train-split
-    * theta, confusion + MRR, final summary row. `extraCols` injects
-    * additional literal output columns (e.g. MTransE's `evolve`). */
-  private[oracle] def scoringTail(dimOut: Long, epochsOut: Long,
-                                  extraCols: String = ""): String =
-    s"""
-, te_tsc AS MATERIALIZED (
+    /** The scoring CTEs after `<tag>_tj` (which must carry idA, idB,
+      * label, split_a, split_b, a0.., b0..): cosine dists, robust
+      * train-split theta plateau, confusion + MRR. */
+    def tailCtes: String = s"""
+, ${t("tsc")} AS MATERIALIZED (
   SELECT idA, idB, label, split_a, split_b,
     1.0 - (CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
                 ELSE dot / sqrt(na * nb) END) AS dist
@@ -365,15 +486,15 @@ object OracleSqlTransE {
       (${chain(d => s"a$d::DOUBLE * b$d::DOUBLE")}) AS dot,
       (${chain(d => s"a$d::DOUBLE * a$d::DOUBLE")}) AS na,
       (${chain(d => s"b$d::DOUBLE * b$d::DOUBLE")}) AS nb
-    FROM te_tj
+    FROM ${t("tj")}
   )
 )
-, te_swb AS (
+, ${t("swb")} AS (
   SELECT CAST(ceil(dist * 50) AS INT) AS bucket,
     CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
-  FROM te_tsc WHERE split_a = 'train' AND split_b = 'train' GROUP BY 1
+  FROM ${t("tsc")} WHERE split_a = 'train' AND split_b = 'train' GROUP BY 1
 )
-, te_sw AS (
+, ${t("sw")} AS (
   SELECT bucket,
     CASE WHEN tp = 0 THEN 0.0
          ELSE tp * 2 / (tp * 2 + (cum_n - tp) + (total_pos - tp)) END AS f1
@@ -382,46 +503,160 @@ object OracleSqlTransE {
       CAST(SUM(npos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
       CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
       CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
-    FROM te_swb
+    FROM ${t("swb")}
   )
 )
-, te_fmax AS (SELECT max(f1) AS fm FROM te_sw)
-, te_blo AS (SELECT min(bucket) AS b FROM te_sw, te_fmax WHERE f1 = fm)
-, te_bhi AS (SELECT coalesce(min(bucket) - 1, (SELECT b FROM te_blo)) AS b
-    FROM te_sw, te_fmax, te_blo WHERE bucket > te_blo.b AND f1 < fm)
-, te_th AS (SELECT CAST(floor(((SELECT b FROM te_blo) + (SELECT b FROM te_bhi)) / 2.0) AS BIGINT) / 50.0 AS th)
-, te_conf AS (
+, ${t("fmax")} AS (SELECT max(f1) AS fm FROM ${t("sw")})
+, ${t("blo")} AS (SELECT min(bucket) AS b FROM ${t("sw")}, ${t("fmax")} WHERE f1 = fm)
+, ${t("bhi")} AS (SELECT coalesce(min(bucket) - 1, (SELECT b FROM ${t("blo")})) AS b
+    FROM ${t("sw")}, ${t("fmax")}, ${t("blo")} WHERE bucket > ${t("blo")}.b AND f1 < fm)
+, ${t("th")} AS (SELECT CAST(floor(((SELECT b FROM ${t("blo")}) + (SELECT b FROM ${t("bhi")})) / 2.0) AS BIGINT) / 50.0 AS th)
+, ${t("conf")} AS (
   SELECT
-    CAST(SUM(CASE WHEN dist <= (SELECT th FROM te_th) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-    CAST(SUM(CASE WHEN dist <= (SELECT th FROM te_th) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-    CAST(SUM(CASE WHEN dist >  (SELECT th FROM te_th) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
-  FROM te_tsc WHERE split_a = 'test' AND split_b = 'test'
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM ${t("th")}) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM ${t("th")}) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN dist >  (SELECT th FROM ${t("th")}) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM ${t("tsc")} WHERE split_a = 'test' AND split_b = 'test'
 )
-, te_rk AS (
+, ${t("rk")} AS (
   SELECT idA, label,
     CAST(row_number() OVER (PARTITION BY idA ORDER BY dist, idB) AS BIGINT) AS rank
-  FROM te_tsc WHERE split_a = 'test' AND split_b = 'test'
+  FROM ${t("tsc")} WHERE split_a = 'test' AND split_b = 'test'
 )
-, te_qf AS (
+, ${t("qf")} AS (
   SELECT idA, CAST(SUM(label) AS BIGINT) AS n_rel,
     CAST(coalesce(MIN(CASE WHEN label = 1 THEN rank END), 0) AS BIGINT) AS first_rel_rank
-  FROM te_rk GROUP BY idA
+  FROM ${t("rk")} GROUP BY idA
 )
-, te_ir AS (
+, ${t("ir")} AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
     CAST(coalesce(SUM(CAST(round(1000000.0 / first_rel_rank) AS BIGINT)), 0) AS BIGINT) AS srr
-  FROM te_qf WHERE n_rel > 0
-)
+  FROM ${t("qf")} WHERE n_rel > 0
+)"""
+
+    /** The 1-row summary SELECT over the tail CTEs — TransE.eval's
+      * output shape; `extraCols` injects additional literal output
+      * columns (e.g. MTransE's `evolve`). */
+    def summarySelect(dimOut: Long, epochsOut: Long,
+                      extraCols: String = ""): String = s"""
 SELECT CAST($dimOut AS BIGINT) AS dim, CAST($epochsOut AS BIGINT) AS epochs,
-  $extraCols(SELECT th FROM te_th) AS theta,
+  $extraCols(SELECT th FROM ${t("th")}) AS theta,
   CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
   CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
   CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
-  (SELECT srr / n_queries / 1000000.0 FROM te_ir) AS mrr
-FROM te_conf"""
+  (SELECT srr / n_queries / 1000000.0 FROM ${t("ir")}) AS mrr
+FROM ${t("conf")}"""
+
+    /** The scoring tail after `<tag>_tj`: tail CTEs + summary row. */
+    def scoringTail(dimOut: Long, epochsOut: Long,
+                    extraCols: String = ""): String =
+      tailCtes + summarySelect(dimOut, epochsOut, extraCols)
+
+    /** Final-model scoring over the candidate pairs — the SQL image of
+      * TransE.pairScores + TransE.eval. `recentCte` supplies the
+      * record->model-row dictionary (KrEar remaps through its own
+      * dense entity dictionary). */
+    def scoringSql(fin: String,
+                   recentCteStr: String = recentCte,
+                   dimOut: Long = D.toLong,
+                   epochsOut: Long = Cfg.epochs.toLong): String =
+      recentCteStr + tjCte(fin) + scoringTail(dimOut, epochsOut)
+
+    /** One grid combo's summary row: (dim, neg_rel_rate, f1, precision,
+      * recall, mrr) as DOUBLE — GridSearch.sweep's schema. */
+    def gridSelect: String = s"""SELECT CAST($D AS DOUBLE) AS dim,
+  CAST($negRelRate AS DOUBLE) AS neg_rel_rate,
+  (SELECT CASE WHEN tp = 0 THEN 0.0
+    ELSE tp * 2 / (tp * 2 + fp + fn) END FROM ${t("conf")}) AS f1,
+  (SELECT CASE WHEN tp + fp = 0 THEN 0.0
+    ELSE tp / (tp + fp) END FROM ${t("conf")}) AS precision,
+  (SELECT CASE WHEN tp + fn = 0 THEN 0.0
+    ELSE tp / (tp + fn) END FROM ${t("conf")}) AS recall,
+  (SELECT srr / n_queries / 1000000.0 FROM ${t("ir")}) AS mrr"""
+  }
+
+  /** Default replay: registered config, tail corruption only, te_*
+    * names — shared by the eval oracles and the KrEar / MTransE /
+    * EmbedLogistic builders below. */
+  private[oracle] val default = new Replay(Cfg.dim, 0, "te")
+
+  private[oracle] def dims: Range = default.dims
+  private[oracle] def chain(f: Int => String): String = default.chain(f)
+  private[oracle] def csv(f: Int => String): String = default.csv(f)
+  private[oracle] def initExpr(h: String): String = default.initExpr(h)
+  private[oracle] def normStage2(inPfx: String, outPfx: String): String =
+    default.normStage2(inPfx, outPfx)
+  private[oracle] def initMatrix(sb: StringBuilder, chainPre: String,
+                                 srcCte: String, rowCol: String, matId: Int,
+                                 xBytes: Int, outCte: String, idCol: String,
+                                 outPfx: String, normalize: Boolean): Unit =
+    default.initMatrix(sb, chainPre, srcCte, rowCol, matId, xBytes, outCte,
+      idCol, outPfx, normalize)
+  private[oracle] val DefaultRecent: String = default.recentCte
+  private[oracle] def scoringSql(fin: String,
+                                 recentCte: String = DefaultRecent,
+                                 dimOut: Long = Cfg.dim.toLong,
+                                 epochsOut: Long = Cfg.epochs.toLong): String =
+    default.scoringSql(fin, recentCte, dimOut, epochsOut)
+  private[oracle] def scoringTail(dimOut: Long, epochsOut: Long,
+                                  extraCols: String = ""): String =
+    default.scoringTail(dimOut, epochsOut, extraCols)
+
+  /** The ER-graph triple select ([[OracleSql.graphErTriples]]'s body). */
+  private val erTripleSelect = """
+  SELECT eh.ent_id AS h, et.ent_id AS t, rawt.rel_id AS r
+  FROM rawt
+  JOIN ents eh ON eh.label = rawt.rec
+  JOIN ents et ON et.label = rawt.value"""
+
+  /** The ERER joint-KG triple select (ER triples + `same_as` prior
+    * edges, [[OracleSql.graphErerJointTriples]]'s body). */
+  private val jointTripleSelect = erTripleSelect + s"""
+  UNION ALL
+  SELECT ra.ent_id, rb.ent_id, CAST($NRel AS BIGINT)
+  FROM (SELECT idA, idB FROM cand
+        WHERE dni_a = dni_b AND dni_a % 10 < 3) p
+  JOIN ents ra ON ra.label = 'r' || CAST(p.idA AS VARCHAR)
+  JOIN ents rb ON rb.label = 'r' || CAST(p.idB AS VARCHAR)"""
+
+  /** Trainer + linkage eval (transe_eval / transh_eval). */
+  private def evalSql(transH: Boolean): String = {
+    val sb = new StringBuilder
+    default.trainCtes(sb, transH, NRel, Cfg.epochs, erTripleSelect)
+    sb ++= default.scoringSql(s"te_e${Cfg.epochs}")
+    OracleSql.q(sb.toString)
+  }
 
   val transeEval: String = evalSql(transH = false)
   val transhEval: String = evalSql(transH = true)
+
+  /** grid_transe: one full plain-TransE replay per (dim, neg_rel_rate)
+    * combo under its own CTE prefix, four summary rows UNIONed —
+    * TransE.GridDims x TransE.GridNegRel, the same axes SparkEntry
+    * sweeps. */
+  val gridTranse: String = {
+    val sb = new StringBuilder
+    sb ++= OracleSql.rawtCte
+    // the triple set and BOTH negative-draw streams are dim-independent
+    // (pure functions of the graph + the seed streams): emit them once
+    // under the "gs" tag and let every combo borrow
+    val shared = new Replay(1, TransE.GridNegRel.max, "gs")
+    shared.sharedOnlyCtes(sb, NRel, Cfg.epochs, erTripleSelect)
+    val selects = for {
+      (d, di) <- TransE.GridDims.zipWithIndex
+      (nrr, ni) <- TransE.GridNegRel.zipWithIndex
+    } yield {
+      val rp = new Replay(d, nrr, s"g$di$ni", sharedTag = Some("gs"))
+      rp.trainCtes(sb, transH = false, NRel, Cfg.epochs, erTripleSelect,
+        includeBase = false)
+      sb ++= rp.recentCte
+      sb ++= rp.tjCte(s"g${di}${ni}_e${Cfg.epochs}")
+      sb ++= rp.tailCtes
+      rp.gridSelect
+    }
+    sb ++= "\n" + selects.mkString("\nUNION ALL\n")
+    OracleSql.q(sb.toString)
+  }
 
   // --- LogisticTransH over the joint KG (graft.ml.EmbedLogistic) ---
 
@@ -436,7 +671,8 @@ FROM te_conf"""
     * pair per iteration, the ECM/fs_logreg pattern). Leaves
     * `el_it<iters>` (w0..w<dim-1>, b) and `el_feat`. */
   private def elCtes(sb: StringBuilder): Unit = {
-    trainCtes(sb, transH = true, NRel + 1, El.epochs, jointTripleSelect)
+    default.trainCtes(sb, transH = true, NRel + 1, El.epochs,
+      jointTripleSelect)
     val fin = s"te_e${El.epochs}"
     val gauss = (d: Int) =>
       s"floor(pow(2.0::DOUBLE, -pow(abs(ea.e$d::DOUBLE - eb.e$d::DOUBLE)" +
@@ -529,8 +765,8 @@ FROM el_conf"""
     sb ++= s"""
 SELECT CAST(r.d AS BIGINT) AS d,
   CASE r.d ${dims.map(d => s"WHEN $d THEN i.w$d").mkString(" ")}
-    WHEN $D THEN i.b END AS weight
-FROM el_it${El.iters} i CROSS JOIN range(0, ${D + 1}) r(d)"""
+    WHEN ${Cfg.dim} THEN i.b END AS weight
+FROM el_it${El.iters} i CROSS JOIN range(0, ${Cfg.dim + 1}) r(d)"""
     OracleSql.q(sb.toString)
   }
 }

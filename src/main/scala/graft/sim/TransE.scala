@@ -75,6 +75,16 @@ object TransE {
     * OracleSql.fnvMixChainW). */
   private def mix(a: Long, b: Long): Long = NegativeSampler.fnvMix(a, b)
 
+  /** Salt separating the relation-corruption draw stream from the tail
+    * stream (same `mix`, disjoint y inputs) — shared verbatim with the
+    * DuckDB replay. */
+  private[graft] final val RelCorruptSalt = 0x517cc1b727220a95L
+
+  /** grid_transe axes — single-sourced into SparkEntry's sweep and the
+    * DuckDB grid replay ([[graft.oracle.OracleSqlTransE.gridTranse]]). */
+  final val GridDims = Seq(8, 16)
+  final val GridNegRel = Seq(0, 1)
+
   /**
    * FNV-seeded uniform init in [-bound, bound): matrix `matId` (8
    * per-trainer stream slots: TransE uses 0=ent, 1=rel, 2=wRel; KrEar
@@ -273,7 +283,7 @@ object TransE {
             var att = 0
             while (rNeg < 0 && att < 16) {
               val d = mix(idx,
-                0x517cc1b727220a95L ^ (ep.toLong * negRelRate + jr) * 31 + att)
+                RelCorruptSalt ^ (ep.toLong * negRelRate + jr) * 31 + att)
               val c = ((d % nRelL) + nRelL) % nRelL
               if (c != rl && java.util.Arrays.binarySearch(
                   sortedPacked, (h * nRelL + c) * nEntL + t) < 0) rNeg = c
