@@ -155,6 +155,10 @@ object SparkEntry {
       sim.TransE.eval(s, d, sim.TransE.Config(transH = true))),
     // --- RLTransE: per-relation value embeddings over the VEG graph ---
     "rltranse_eval" -> ((s, d) => sim.RLTransE.eval(s, d)),
+    // distributed batch variant of the same offset value tables —
+    // TransE.train with per-relation tail ranges: the RLTransE family's
+    // scale path, and (unlike the sequential flagship) SQL-replayable
+    "rltranse_batch_eval" -> ((s, d) => sim.RLTransE.evalBatch(s, d)),
     // hyperparameter grid over RLTransE with per-combo IR metrics
     // (the reference's per-combination test loops,
     // /root/reference/tests/er/test_transe.py:90-121)
@@ -266,6 +270,7 @@ object SparkEntry {
     "transe_eval" -> oracle.OracleSqlTransE.transeEval,
     "transh_eval" -> oracle.OracleSqlTransE.transhEval,
     "grid_transe" -> oracle.OracleSqlTransE.gridTranse,
+    "rltranse_batch_eval" -> oracle.OracleSqlRLTransEBatch.rltranseBatchEval,
     "embed_logistic_metrics" -> oracle.OracleSqlTransE.embedLogisticMetrics,
     "embed_logistic_weights" -> oracle.OracleSqlTransE.embedLogisticWeights,
     "krear_eval" -> oracle.OracleSqlKrEar.krearEval,

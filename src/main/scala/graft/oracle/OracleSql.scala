@@ -450,7 +450,10 @@ LEFT JOIN tgvec vb ON vb.id = f.idB""")
     JOIN ents et ON et.label = rawt.value""")
   }
 
-  private def vegSql(truthFilter: String): String = {
+  /** VEG derivation as CTEs ending in `vegt(val_a, val_b, r, n)` —
+    * shared by the graph_veg_* oracles and the batch-RLTransE replay
+    * ([[OracleSqlRLTransEBatch]]). */
+  private[oracle] def vegCtes(truthFilter: String): String = {
     val rels = graft.graph.GraphBuild.Relations
     val aCols = rels.map(r => s"${relValSql(r)} AS a_$r").mkString(", ")
     val bCols = rels.map(r => s"${relValSql(r)} AS b_$r").mkString(", ")
@@ -467,10 +470,14 @@ LEFT JOIN tgvec vb ON vb.id = f.idB""")
       SELECT * FROM truthp JOIN ka USING (idA) JOIN kb USING (idB)
     ), vt AS (
 $vt
-    )
+    ), vegt AS (
     SELECT val_a, val_b, r, CAST(COUNT(*) AS BIGINT) AS n
-    FROM vt GROUP BY val_a, val_b, r"""
+    FROM vt GROUP BY val_a, val_b, r
+    )"""
   }
+
+  private def vegSql(truthFilter: String): String =
+    vegCtes(truthFilter) + "\n    SELECT val_a, val_b, r, n FROM vegt"
 
   val graphErerPriorPairs: String = q(
     "SELECT idA, idB FROM cand WHERE dni_a = dni_b AND dni_a % 10 < 3")

@@ -1,0 +1,228 @@
+package graft.oracle
+
+import graft.graph.GraphBuild
+import graft.sim.{RLTransE, TransE}
+
+/**
+ * DuckDB replay of the DISTRIBUTED batch RLTransE variant
+ * ([[graft.sim.RLTransE.trainBatch]] / evalBatch): the train-split
+ * value-evolution graph and its per-relation vocabulary re-derived in
+ * SQL (the graph_veg_train_triples derivation + a per-relation
+ * row_number dictionary), the offset-indexed triples trained through
+ * the SAME replay core as transe_eval ([[OracleSqlTransE.Replay]]:
+ * FNV init, integer micro-unit gradients, float-rounded updates) with
+ * the ONE difference that negative tails are drawn from the triple's
+ * relation's OWN value range (base + draw mod cnt — the offset-table
+ * scheme, TransE.Config.tailRanges), then the per-field translated
+ * cosine scoring, field-chain record distance, train-swept theta and
+ * test metrics unrolled exactly as the Scala eval computes them.
+ *
+ * Field scoring runs in LONG FORM (one row per pair x scored field,
+ * one dim-16 cosine chain) and pivots back to per-field columns so the
+ * record distance is the LITERAL left-to-right field chain — never a
+ * float SUM over an engine-chosen row order. The mean st-field
+ * distance is the order-free integer form evalBatch exports (per-pair
+ * micro-quantized, summed exactly, one final division).
+ */
+object OracleSqlRLTransEBatch {
+
+  private val R = OracleSqlTransE.default
+  private val Cfg = RLTransE.BatchCfg
+  private val Rels = GraphBuild.Relations
+  private val NRel = Rels.size
+  private val Scored = RLTransE.ScoredRels
+  private def dims = R.dims
+  private def csv(f: Int => String) = R.csv(f)
+  private def chain(f: Int => String) = R.chain(f)
+
+  val rltranseBatchEval: String = {
+    // the default replay's literal constants (dim/lr/margin/seed) are
+    // baked into the shared core — the batch config must agree
+    require(Cfg.dim == R.D && Cfg.lr == TransE.Config().lr &&
+      Cfg.margin == TransE.Config().margin &&
+      Cfg.seed == TransE.Config().seed && Cfg.negRelRate == 0 &&
+      !Cfg.transH,
+      s"BatchCfg diverged from the shared replay core constants: $Cfg")
+    val E = Cfg.epochs
+    val sb = new StringBuilder
+    sb ++= OracleSql.vegCtes(
+      "dni_a = dni_b AND split_a = 'train' AND split_b = 'train'")
+    sb ++= s"""
+, voc AS MATERIALIZED (
+  SELECT r, value,
+    CAST(row_number() OVER (PARTITION BY r ORDER BY value) - 1 AS BIGINT) AS vidx
+  FROM (SELECT r, val_a AS value FROM vegt UNION SELECT r, val_b FROM vegt)
+)
+, vcnt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt FROM voc GROUP BY r)
+, vmax AS (SELECT MAX(cnt) AS mv FROM vcnt)
+, te_n AS (SELECT CAST($NRel * (SELECT mv FROM vmax) AS BIGINT) AS ne)
+, te_ranges AS (SELECT r, r * (SELECT mv FROM vmax) AS base, cnt FROM vcnt)
+, te_trip AS MATERIALIZED (
+  SELECT h, t, r, (h * $NRel + r) * te_n.ne + t AS idx
+  FROM (
+    SELECT (g.r * mv.mv + va.vidx) AS h, (g.r * mv.mv + vb.vidx) AS t, g.r
+    FROM vegt g
+    JOIN voc va ON va.r = g.r AND va.value = g.val_a
+    JOIN voc vb ON vb.r = g.r AND vb.value = g.val_b
+    CROSS JOIN vmax mv
+  ) CROSS JOIN te_n
+)
+, te_isrc AS (SELECT (v.r * mv.mv + v.vidx) AS row, rj.j
+    FROM voc v CROSS JOIN vmax mv CROSS JOIN range(0, ${R.D}) rj(j))
+, te_rsrc AS (SELECT rr.rid, rj.j FROM range(0, $NRel) rr(rid) CROSS JOIN range(0, ${R.D}) rj(j))"""
+    // vocab rows only: slots past a relation's count are initialized
+    // and re-normalized by the Scala trainer but never read (draws stay
+    // inside the relation's range; scoring goes through the vocab), and
+    // the FNV init is pure per (matId, row, dim) — dropping them is
+    // value-preserving for every row that matters
+    R.initMatrix(sb, "tei", "te_isrc", "row", 0, 5, "te_e0", "ent_id", "e",
+      normalize = true)
+    R.initMatrix(sb, "ter", "te_rsrc", "rid", 1, 2, "te_r0", "rid", "r",
+      normalize = false)
+    sb ++= s"""
+, te_negsrc AS (
+  SELECT t.h, t.t, t.r, t.idx, e.ep, j.j
+  FROM te_trip t
+  CROSS JOIN range(0, $E) e(ep)
+  CROSS JOIN range(0, ${Cfg.negRate}) j(j)
+)"""
+    sb ++= OracleSql.fnvMixChainW("ten", "te_negsrc",
+      "idx::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT",
+      7, OracleSqlTransE.bytesFor((E.toLong * Cfg.negRate - 1) max 1))
+    sb ++= s"""
+, te_negs AS MATERIALIZED (
+  SELECT h, t, r, ep, tn FROM (
+    SELECT n.h, n.t, n.r, n.ep, v.cnt,
+      v.base + CAST((((${OracleSql.signed64("ten_h")}) % v.cnt) + v.cnt) % v.cnt AS BIGINT) AS tn
+    FROM ten4 n JOIN te_ranges v ON v.r = n.r
+  ) WHERE cnt > 1 AND tn <> t
+)"""
+    for (e <- 0 until E) {
+      R.plainEpoch(sb, e)
+      R.updateMatrix(sb, e, s"te_e$e", s"te_e${e + 1}", "ent_id", "e",
+        "", normalize = true)
+      // normalizeRel = true for the batch variant (the reference
+      // normalizes every relation lookup)
+      R.updateMatrix(sb, e, s"te_r$e", s"te_r${e + 1}", "rid", "r",
+        "te_n.ne", normalize = true)
+    }
+    // --- per-field scoring over ALL candidate pairs (long form) ---
+    val aCols = Scored.map(r => s"${OracleSql.relValSql(r)} AS a_$r")
+      .mkString(", ")
+    val bCols = Scored.map(r => s"${OracleSql.relValSql(r)} AS b_$r")
+      .mkString(", ")
+    val unions = Scored.map { rel =>
+      s"  SELECT idA, idB, label, split_a, split_b, CAST(${Rels.indexOf(rel)} AS BIGINT) AS rid, a_$rel AS va, b_$rel AS vb FROM fbase"
+    }.mkString("\n  UNION ALL\n")
+    sb ++= s"""
+, rka AS (SELECT id AS idA, $aCols FROM keyed)
+, rkb AS (SELECT id AS idB, $bCols FROM keyed)
+, fbase AS (
+  SELECT c.idA, c.idB,
+    CAST(CASE WHEN c.dni_a = c.dni_b THEN 1 ELSE 0 END AS BIGINT) AS label,
+    c.split_a, c.split_b, ${Scored.map(r => s"a_$r").mkString(", ")},
+    ${Scored.map(r => s"b_$r").mkString(", ")}
+  FROM cand c JOIN rka ON rka.idA = c.idA JOIN rkb ON rkb.idB = c.idB
+)
+, fpair AS (
+$unions
+)
+, fdist AS MATERIALIZED (
+  SELECT idA, idB, label, split_a, split_b, rid,
+    CASE WHEN va = vb THEN 0.0
+         WHEN iav IS NULL OR ibv IS NULL THEN 1.0
+         ELSE abs(1.0 - (CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+                              ELSE dot / sqrt(na * nb) END))
+    END AS fd
+  FROM (
+    SELECT *,
+      (${chain(d => s"sh$d::DOUBLE * b$d::DOUBLE")}) AS dot,
+      (${chain(d => s"sh$d::DOUBLE * sh$d::DOUBLE")}) AS na,
+      (${chain(d => s"b$d::DOUBLE * b$d::DOUBLE")}) AS nb
+    FROM (
+      SELECT p.idA, p.idB, p.label, p.split_a, p.split_b, p.rid, p.va, p.vb,
+        ia.vidx AS iav, ib.vidx AS ibv,
+        ${csv(d => s"CAST(ea.e$d::DOUBLE + rr.r$d::DOUBLE AS REAL) AS sh$d")},
+        ${csv(d => s"eb.e$d AS b$d")}
+      FROM fpair p
+      LEFT JOIN voc ia ON ia.r = p.rid AND ia.value = p.va
+      LEFT JOIN voc ib ON ib.r = p.rid AND ib.value = p.vb
+      CROSS JOIN vmax mv
+      LEFT JOIN te_e$E ea ON ea.ent_id = p.rid * mv.mv + ia.vidx
+      LEFT JOIN te_e$E eb ON eb.ent_id = p.rid * mv.mv + ib.vidx
+      LEFT JOIN te_r$E rr ON rr.rid = p.rid
+    )
+  )
+)
+, fwide AS MATERIALIZED (
+  SELECT idA, idB, label, split_a, split_b,
+    ${Scored.map(rel =>
+      s"MAX(CASE WHEN rid = ${Rels.indexOf(rel)} THEN fd END) AS f_$rel")
+      .mkString(",\n    ")}
+  FROM fdist GROUP BY idA, idB, label, split_a, split_b
+)
+, rtsc AS MATERIALIZED (
+  SELECT idA, idB, label, split_a, split_b, f_st,
+    (${Scored.map(r => s"f_$r").mkString(" + ")}) AS dist
+  FROM fwide
+)
+, rb_swb AS (
+  SELECT CAST(ceil(dist * 50) AS INT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
+  FROM rtsc WHERE split_a = 'train' AND split_b = 'train' GROUP BY 1
+)
+, rb_sw AS (
+  SELECT bucket,
+    CASE WHEN tp = 0 THEN 0.0
+         ELSE tp * 2 / (tp * 2 + (cum_n - tp) + (total_pos - tp)) END AS f1
+  FROM (
+    SELECT bucket,
+      CAST(SUM(npos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+      CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
+    FROM rb_swb
+  )
+)
+, rb_fmax AS (SELECT max(f1) AS fm FROM rb_sw)
+, rb_blo AS (SELECT min(bucket) AS b FROM rb_sw, rb_fmax WHERE f1 = fm)
+, rb_bhi AS (SELECT coalesce(min(bucket) - 1, (SELECT b FROM rb_blo)) AS b
+    FROM rb_sw, rb_fmax, rb_blo WHERE bucket > rb_blo.b AND f1 < fm)
+, rb_th AS (SELECT CAST(floor(((SELECT b FROM rb_blo) + (SELECT b FROM rb_bhi)) / 2.0) AS BIGINT) / 50.0 AS th)
+, rb_conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM rb_th) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM rb_th) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN dist >  (SELECT th FROM rb_th) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM rtsc WHERE split_a = 'test' AND split_b = 'test'
+)
+, rb_rk AS (
+  SELECT idA, label,
+    CAST(row_number() OVER (PARTITION BY idA ORDER BY dist, idB) AS BIGINT) AS rank
+  FROM rtsc WHERE split_a = 'test' AND split_b = 'test'
+)
+, rb_qf AS (
+  SELECT idA, CAST(SUM(label) AS BIGINT) AS n_rel,
+    CAST(coalesce(MIN(CASE WHEN label = 1 THEN rank END), 0) AS BIGINT) AS first_rel_rank
+  FROM rb_rk GROUP BY idA
+)
+, rb_ir AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+    CAST(coalesce(SUM(CAST(round(1000000.0 / first_rel_rank) AS BIGINT)), 0) AS BIGINT) AS srr
+  FROM rb_qf WHERE n_rel > 0
+)
+, rb_st AS (
+  SELECT CAST(coalesce(SUM(CAST(floor(f_st * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM rtsc WHERE split_a = 'test' AND split_b = 'test' AND label = 1
+)
+SELECT CAST(${Cfg.dim} AS BIGINT) AS dim, CAST($E AS BIGINT) AS epochs,
+  (SELECT th FROM rb_th) AS theta,
+  CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+  CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+  CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+  (SELECT srr / n_queries / 1000000.0 FROM rb_ir) AS mrr,
+  (SELECT CASE WHEN n = 0 THEN 0 ELSE CAST(floor(s / n + 0.5) AS BIGINT) END FROM rb_st) AS tp_st_dist_micros
+FROM rb_conf"""
+    OracleSql.q(sb.toString)
+  }
+}

@@ -331,7 +331,7 @@ object OracleSqlTransE {
       * h+r-t'), integer signum gradients — TransE.train's !transH arm.
       * Under relation corruption a second hinge block contributes
       * (h+r-t vs h+r'-t) gradients to the same per-row sum. */
-    private def plainEpoch(sb: StringBuilder, e: Int): Unit = {
+    def plainEpoch(sb: StringBuilder, e: Int): Unit = {
       sb ++= s"""
 , ${t(s"ac$e")} AS MATERIALIZED (
   SELECT h, t, tn, r,

@@ -81,6 +81,99 @@ object RLTransE {
       trainOn(spark, GraphBuild.vegTrainTriples(spark, sfDir), cfg)
     }
 
+  /** Batch-variant config: [[TransE.Config]] with relation-row
+    * normalization (the reference normalizes every relation lookup,
+    * /root/reference/VEG/rltranse.py:93-98); per-relation tail ranges
+    * are attached by [[trainBatch]]. */
+  final val BatchCfg: TransE.Config =
+    TransE.Config(dim = 16, epochs = 30, negRate = 4, normalizeRel = true)
+
+  /**
+   * DISTRIBUTED batch trainer over the offset-indexed VEG triples —
+   * the 100-TB path for the RLTransE family. The flagship [[trainOn]]
+   * mirrors the reference's per-triple sequential minibatch SGD
+   * (driver-side over the model-sized value-pair graph, guarded), which
+   * is inherently order-dependent; this variant trains the SAME offset
+   * value tables with [[TransE.train]] — broadcast model, ONE gradient
+   * shuffle per epoch, integer micro-unit reduction, per-relation
+   * negative tail ranges — so it is fully distributed AND bit-exactly
+   * replayed by DuckDB ([[graft.oracle.OracleSqlRLTransEBatch]]).
+   * Quality lands below the sequential flagship (batch hinge vs
+   * per-triple updates) but the planted value translations are still
+   * learned (spec band).
+   */
+  def trainBatch(spark: SparkSession, sfDir: String,
+                 cfg: TransE.Config = BatchCfg): Model =
+    graft.EntryStages.memoModel(spark, sfDir, s"rltranse_batch:$cfg") {
+      val nRel = GraphBuild.Relations.size
+      val vegTrain = GraphBuild.vegTrainTriples(spark, sfDir).persist()
+      val vocabDf = vocabulary(vegTrain).persist()
+      val vocabCount = vocabDf.count()
+      val bound = Config().maxDriverTriples
+      require(vocabCount <= bound,
+        s"RLTransE value vocabulary has $vocabCount rows, over the " +
+          s"model bound ($bound) — see trainOn's guard")
+      val vocabRows = vocabDf.collect()
+        .map(r => (r.getLong(0).toInt, r.getString(1), r.getLong(2).toInt))
+      val vocab = Array.tabulate(nRel) { rid =>
+        vocabRows.filter(_._1 == rid).map(v => v._2 -> v._3).toMap
+      }
+      val counts = vocab.map(_.size)
+      val maxVal = counts.max
+      val ranges = Array.tabulate(nRel)(rid =>
+        (rid.toLong * maxVal, counts(rid).toLong))
+      val nEnt = nRel * maxVal
+      val va = vocabDf.select(col("r"), col("value").as("val_a"),
+        col("vidx").as("ia"))
+      val vb = vocabDf.select(col("r"), col("value").as("val_b"),
+        col("vidx").as("ib"))
+      val triples = vegTrain
+        .join(va, Seq("r", "val_a")).join(vb, Seq("r", "val_b"))
+        .select(
+          (col("r") * maxVal + col("ia")).cast("long").as("h"),
+          (col("r") * maxVal + col("ib")).cast("long").as("t"),
+          col("r").cast("long"))
+        .withColumn("idx", TransE.packedIdx(nEnt.toLong, nRel.toLong))
+      val m = TransE.train(spark, triples, nEnt, nRel,
+        cfg.copy(tailRanges = Some(ranges)))
+      vegTrain.unpersist(); vocabDf.unpersist()
+      Model(m.ent, m.rel, vocab, maxVal, m.lossByEpoch)
+    }
+
+  /** Summary row for the batch variant — same shape as [[eval]], with
+    * the mean st-field distance accumulated ORDER-FREE (per-pair
+    * micro-quantized integers summed, then one exact division) so the
+    * DuckDB replay reproduces it bit-for-bit. */
+  def evalBatch(spark: SparkSession, sfDir: String,
+                cfg: TransE.Config = BatchCfg): DataFrame = {
+    import spark.implicits._
+    val model = trainBatch(spark, sfDir, cfg)
+    val fieldCols = ScoredRels.map(r => col(s"f_$r"))
+    val all = fieldScores(spark, sfDir, model, testOnly = false)
+      .withColumn("dist", fieldCols.reduce(_ + _))
+      .persist()
+    val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+      all, col("dist"), col("label"))
+    val test = all.filter(
+      col("split_a") === "test" && col("split_b") === "test")
+    val m = graft.eval.Metrics.pairMetrics(test,
+      (col("dist") <= theta).cast("int"), col("label")).head()
+    val ir = graft.eval.Metrics.irMetrics(test, col("dist"), col("label"))
+      .head()
+    val st = test.filter(col("label") === 1)
+      .agg(sum(floor(col("f_st") * 1e6 + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n")).head()
+    val stMicros =
+      if (st.getLong(1) == 0) 0L
+      else math.floor(st.getLong(0).toDouble / st.getLong(1) + 0.5).toLong
+    all.unpersist()
+    Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
+      m.getAs[Double]("f1"), m.getAs[Double]("precision"),
+      m.getAs[Double]("recall"), ir.getAs[Double]("mrr"), stMicros))
+      .toDF("dim", "epochs", "theta", "f1", "precision", "recall", "mrr",
+        "tp_st_dist_micros")
+  }
+
   /** Train over an explicit VEG triple set (val_a, val_b, r, n). */
   def trainOn(spark: SparkSession, veg: DataFrame,
               cfg: Config = Config()): Model = {

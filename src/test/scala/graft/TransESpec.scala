@@ -69,6 +69,20 @@ class TransESpec extends AnyFunSuite {
       s"st evolution not learned: ${row.getAs[Long]("tp_st_dist_micros")}")
   }
 
+  test("batch RLTransE (distributed trainer) learns the value evolution too") {
+    // the scale path: TransE.train over the offset value tables with
+    // per-relation tail ranges — must land in the flagship band AND
+    // learn the planted st translations (low true-pair st distance)
+    val row = RLTransE.evalBatch(spark, sf).head()
+    assert(row.getAs[Double]("f1") >= 0.9, s"batch rltranse f1 ${row.get(3)}")
+    assert(row.getAs[Double]("mrr") >= 0.9, s"batch rltranse mrr")
+    assert(row.getAs[Long]("tp_st_dist_micros") < 500000L,
+      s"st evolution not learned: ${row.getAs[Long]("tp_st_dist_micros")}")
+    // train-once memo: the registered query and repeated evals share one fit
+    val m1 = RLTransE.trainBatch(spark, sf)
+    assert(RLTransE.trainBatch(spark, sf) eq m1)
+  }
+
   test("RLTransE refuses data-sized vocabularies instead of OOMing the driver") {
     import spark.implicits._
     // adversarial high-cardinality input: every value unique per row —
