@@ -159,6 +159,10 @@ object SparkEntry {
     // TransE.train with per-relation tail ranges: the RLTransE family's
     // scale path, and (unlike the sequential flagship) SQL-replayable
     "rltranse_batch_eval" -> ((s, d) => sim.RLTransE.evalBatch(s, d)),
+    // WERL's learned-combination tier over the BATCH fit — the whole
+    // chain (embeddings + GD + swept theta) is distributed + replayable
+    "werl_batch_weights" -> ((s, d) => ml.Weights.werlBatchWeights(s, d)),
+    "werl_batch_metrics" -> ((s, d) => ml.Weights.werlBatchMetrics(s, d)),
     // hyperparameter grid over RLTransE with per-combo IR metrics
     // (the reference's per-combination test loops,
     // /root/reference/tests/er/test_transe.py:90-121)
@@ -271,6 +275,8 @@ object SparkEntry {
     "transh_eval" -> oracle.OracleSqlTransE.transhEval,
     "grid_transe" -> oracle.OracleSqlTransE.gridTranse,
     "rltranse_batch_eval" -> oracle.OracleSqlRLTransEBatch.rltranseBatchEval,
+    "werl_batch_weights" -> oracle.OracleSqlRLTransEBatch.werlBatchWeights,
+    "werl_batch_metrics" -> oracle.OracleSqlRLTransEBatch.werlBatchMetrics,
     "embed_logistic_metrics" -> oracle.OracleSqlTransE.embedLogisticMetrics,
     "embed_logistic_weights" -> oracle.OracleSqlTransE.embedLogisticWeights,
     "krear_eval" -> oracle.OracleSqlKrEar.krearEval,

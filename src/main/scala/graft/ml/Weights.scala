@@ -184,6 +184,63 @@ object Weights {
   def werlMetrics(spark: SparkSession, sfDir: String): DataFrame =
     werlWeightsAndMetrics(spark, sfDir)._2
 
+  // --- WERL over the BATCH RLTransE fit: the learned-combination tier
+  // with EVERY stage distributed AND SQL-replayable (the sequential
+  // flagship fit above is order-dependent by design, so the classic
+  // werl_* queries stay rows-only) ---
+
+  /** lr bound: the 6 channels are cosine distances in [0, 2] (mostly
+    * [0, 1] after training), so the balanced logistic Hessian's top
+    * eigenvalue is <= 0.25 * ||x||^2 <= 6 worst-case — 0.25 keeps
+    * full-batch GD monotone even at the bound. */
+  final val WerlBatchLr = 0.25
+  final val WerlBatchIters = 100
+  final val WerlBatchReg = 0.001
+
+  /** Micro-quantized per-field channels of the BATCH RLTransE fit —
+    * the batch fit's channel values are engine-bit-identical (the
+    * trainer replays in SQL), so the 1e-6 grid here just keeps the GD
+    * inputs on the same quantization discipline as VEER. */
+  private def werlBatchFeatDf(spark: SparkSession, sfDir: String): DataFrame =
+    EntryStages.memo(spark, sfDir, "werl_batch_feats") {
+      val model = RLTransE.trainBatch(spark, sfDir)
+      RLTransE.fieldScores(spark, sfDir, model, testOnly = false)
+        .select(Seq(col("idA"), col("idB"), col("label"),
+          col("split_a"), col("split_b"),
+          array(WerlFeatures.map(f =>
+            floor(col(f) * 1e6 + lit(0.5)) / 1e6): _*).as("feat")): _*)
+    }
+
+  /** WERL batch tier: deterministic balanced GD over the frozen batch
+    * channels, theta swept on the TRAIN split over
+    * dist = 1 - sigmoid(logit) — replayed end-to-end by
+    * [[graft.oracle.OracleSqlRLTransEBatch]]. */
+  def werlBatchWeightsAndMetrics(spark: SparkSession, sfDir: String):
+      (DataFrame, DataFrame) =
+    EntryStages.memoModel(spark, sfDir, "werl_batch") {
+      val feats = werlBatchFeatDf(spark, sfDir)
+      val fit = EmbedLogistic.fitBalancedOn(feats,
+        EmbedLogistic.Config(dim = WerlFeatures.length,
+          iters = WerlBatchIters, lr = WerlBatchLr, reg = WerlBatchReg))
+      val dist = veerDist(fit)
+      val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+        feats, dist, col("label"))
+      val test = feats.filter(col("split_a") === "test" &&
+        col("split_b") === "test")
+      val metrics = Metrics.pairMetrics(test,
+        (dist <= lit(theta)).cast("int"), col("label"))
+      val rows = metrics.collect()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), metrics.schema)
+      (weightRows(spark, WerlFeatures, fit.w, fit.b), local)
+    }
+
+  def werlBatchWeights(spark: SparkSession, sfDir: String): DataFrame =
+    werlBatchWeightsAndMetrics(spark, sfDir)._1
+
+  def werlBatchMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    werlBatchWeightsAndMetrics(spark, sfDir)._2
+
   /** Shared shape of the two unweighted WERL variants: build a single
     * record distance from the frozen per-field RLTransE channels,
     * sweep theta on the TRAIN split only, report test-split pair

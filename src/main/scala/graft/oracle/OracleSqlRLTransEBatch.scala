@@ -31,11 +31,15 @@ object OracleSqlRLTransEBatch {
   private val Rels = GraphBuild.Relations
   private val NRel = Rels.size
   private val Scored = RLTransE.ScoredRels
+  private val E = Cfg.epochs
   private def dims = R.dims
   private def csv(f: Int => String) = R.csv(f)
   private def chain(f: Int => String) = R.chain(f)
 
-  val rltranseBatchEval: String = {
+  /** Everything through `fwide` (per-pair per-field distances of the
+    * trained batch model) — shared by rltranse_batch_eval and the
+    * werl_batch_* oracles. */
+  private val coreCtes: String = {
     // the default replay's literal constants (dim/lr/margin/seed) are
     // baked into the shared core — the batch config must agree
     require(Cfg.dim == R.D && Cfg.lr == TransE.Config().lr &&
@@ -43,7 +47,6 @@ object OracleSqlRLTransEBatch {
       Cfg.seed == TransE.Config().seed && Cfg.negRelRate == 0 &&
       !Cfg.transH,
       s"BatchCfg diverged from the shared replay core constants: $Cfg")
-    val E = Cfg.epochs
     val sb = new StringBuilder
     sb ++= OracleSql.vegCtes(
       "dni_a = dni_b AND split_a = 'train' AND split_b = 'train'")
@@ -160,7 +163,11 @@ $unions
       s"MAX(CASE WHEN rid = ${Rels.indexOf(rel)} THEN fd END) AS f_$rel")
       .mkString(",\n    ")}
   FROM fdist GROUP BY idA, idB, label, split_a, split_b
-)
+)"""
+    sb.toString
+  }
+
+  val rltranseBatchEval: String = OracleSql.q(coreCtes + s"""
 , rtsc AS MATERIALIZED (
   SELECT idA, idB, label, split_a, split_b, f_st,
     (${Scored.map(r => s"f_$r").mkString(" + ")}) AS dist
@@ -222,7 +229,104 @@ SELECT CAST(${Cfg.dim} AS BIGINT) AS dim, CAST($E AS BIGINT) AS epochs,
   CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
   (SELECT srr / n_queries / 1000000.0 FROM rb_ir) AS mrr,
   (SELECT CASE WHEN n = 0 THEN 0 ELSE CAST(floor(s / n + 0.5) AS BIGINT) END FROM rb_st) AS tp_st_dist_micros
-FROM rb_conf"""
+FROM rb_conf""")
+
+  // --- WERL over the batch fit: balanced GD on the frozen channels ---
+
+  private val WCfg = graft.ml.Weights
+  private val nF = Scored.length
+  private def fdims = 0 until nF
+  private def fcsv(f: Int => String) = fdims.map(f).mkString(",\n    ")
+  private def fchain(f: Int => String) = fdims.map(f).mkString(" + ")
+
+  /** Channel + GD CTEs shared by the two werl_batch oracles: x_i =
+    * micro-quantized f_<rel> in ScoredRels order (the Scala feat array
+    * layout), then the shared balanced-GD unroll. Leaves `wbit<iters>`
+    * (w0..w{n-1}, b) and `wbf`. */
+  private def werlGdCtes(sb: StringBuilder): Unit = {
+    sb ++= s"""
+, wbf AS MATERIALIZED (
+  SELECT idA, idB, label, split_a, split_b,
+    ${Scored.zipWithIndex.map { case (rel, i) =>
+        s"${OracleSqlGd.mq6(s"f_$rel")} AS x$i" }.mkString(",\n    ")}
+  FROM fwide
+)
+, wbtrain AS MATERIALIZED (
+  SELECT label, ${fdims.map(d => s"x$d").mkString(", ")} FROM wbf
+  WHERE split_a = 'train' AND split_b = 'train'
+)
+, wbnc AS (SELECT CAST(SUM(label) AS BIGINT) AS np,
+    CAST(SUM(1 - label) AS BIGINT) AS nn FROM wbtrain)"""
+    OracleSqlGd.gdCtes(sb, "wbit", nF, "wbtrain", "wbnc",
+      WCfg.WerlBatchLr, WCfg.WerlBatchReg, WCfg.WerlBatchIters)
+  }
+
+  /** werl_batch_metrics: dist = 1 - sigmoid(logit), train-swept theta
+    * plateau, test confusion — the pairMetrics output shape. */
+  val werlBatchMetrics: String = {
+    val sb = new StringBuilder(coreCtes)
+    werlGdCtes(sb)
+    val it = s"wbit${WCfg.WerlBatchIters}"
+    val zf = fchain(d => s"i.w$d * f.x$d")
+    sb ++= s"""
+, wbsc AS MATERIALIZED (
+  SELECT f.idA, f.idB, f.label, f.split_a, f.split_b,
+    1.0 - 1.0 / (1.0 + exp(-($zf + i.b))) AS dist
+  FROM wbf f CROSS JOIN $it i
+)
+, wbswb AS (
+  SELECT CAST(ceil(dist * 50) AS INT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
+  FROM wbsc WHERE split_a = 'train' AND split_b = 'train' GROUP BY 1
+)
+, wbsw AS (
+  SELECT bucket,
+    CASE WHEN tp = 0 THEN 0.0
+         ELSE tp * 2 / (tp * 2 + (cum_n - tp) + (total_pos - tp)) END AS f1
+  FROM (
+    SELECT bucket,
+      CAST(SUM(npos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+      CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
+    FROM wbswb
+  )
+)
+, wbfmax AS (SELECT max(f1) AS fm FROM wbsw)
+, wbblo AS (SELECT min(bucket) AS b FROM wbsw, wbfmax WHERE f1 = fm)
+, wbbhi AS (SELECT coalesce(min(bucket) - 1, (SELECT b FROM wbblo)) AS b
+    FROM wbsw, wbfmax, wbblo WHERE bucket > wbblo.b AND f1 < fm)
+, wbth AS (SELECT CAST(floor(((SELECT b FROM wbblo) + (SELECT b FROM wbbhi)) / 2.0) AS BIGINT) / 50.0 AS th)
+, wbconf AS (
+  SELECT
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM wbth) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM wbth) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN dist >  (SELECT th FROM wbth) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN dist >  (SELECT th FROM wbth) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM wbsc WHERE split_a = 'test' AND split_b = 'test'
+)
+SELECT tp, fp, fn, tn,
+  CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+  CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+  CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+  (tp + tn) / (tp + fp + fn + tn) AS accuracy
+FROM wbconf"""
+    OracleSql.q(sb.toString)
+  }
+
+  /** werl_batch_weights: (feature, weight_micros) rows + intercept —
+    * floor(w*1e6 + 0.5) on the nano-quantized weights. */
+  val werlBatchWeights: String = {
+    val sb = new StringBuilder(coreCtes)
+    werlGdCtes(sb)
+    val names = WCfg.WerlFeatures :+ "intercept"
+    val pick = fdims.map(d => s"WHEN $d THEN i.w$d").mkString(" ")
+    sb ++= s"""
+SELECT f.feature,
+  CAST(floor((CASE f.d $pick ELSE i.b END) * 1000000.0 + 0.5) AS BIGINT)
+    AS weight_micros
+FROM wbit${WCfg.WerlBatchIters} i
+CROSS JOIN (VALUES ${names.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")}) f(d, feature)"""
     OracleSql.q(sb.toString)
   }
 }

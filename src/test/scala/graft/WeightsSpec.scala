@@ -45,6 +45,16 @@ class WeightsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mrr") >= 0.9)
   }
 
+  test("WERL over the batch RLTransE fit: learned combination in band, " +
+      "one memoized fit") {
+    val (w1, m1) = ml.Weights.werlBatchWeightsAndMetrics(spark, sf)
+    val (w2, m2) = ml.Weights.werlBatchWeightsAndMetrics(spark, sf)
+    assert((w1 eq w2) && (m1 eq m2))
+    assert(m1.head().getAs[Double]("f1") >= 0.9,
+      s"werl_batch f1 ${m1.head().getAs[Double]("f1")}")
+    assert(w1.count() == ml.Weights.WerlFeatures.length + 1)
+  }
+
   test("logistic over dim-wide RLTransE difference vectors beats the " +
       "scalar-channel WERL band and is memoized") {
     val m1 = ml.Weights.logisticRlTransEMetrics(spark, sf)
