@@ -197,6 +197,7 @@ object EmbedLogistic {
       wB.destroy()
       it += 1
     }
+    data.unpersist()
     Fit(w, b)
   }
 

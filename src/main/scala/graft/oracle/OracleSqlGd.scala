@@ -8,8 +8,11 @@ package graft.oracle
  * mix; nano-quantized L2-regularized steps) — parameterized by feature
  * count, source CTEs and hyperparameters, so replays over different
  * feature families (batch-RLTransE field channels, and future fits)
- * share one builder. OracleSqlVeer predates this and keeps its own
- * identical inline copy (its SQL is validated byte-for-byte).
+ * share one builder. Two earlier, byte-validated copies deliberately
+ * stay inline rather than re-rendering through this builder:
+ * OracleSqlVeer.gdCtes and the iteration loop in
+ * OracleSqlTransE.elCtes — any change to the GD image must be applied
+ * in all three places (they differ only in CTE names and literals).
  */
 private[oracle] object OracleSqlGd {
 

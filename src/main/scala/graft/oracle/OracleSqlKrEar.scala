@@ -21,6 +21,17 @@ import graft.graph.GraphBuild
 object OracleSqlKrEar {
 
   private val Cfg = KrEar.Config()
+  // drift guard: the shared replay core (OracleSqlTransE.default —
+  // chain widths, initExpr bound, init seed stream) bakes
+  // TransE.Config()'s literals; KrEar carries its OWN Config, so a
+  // divergence would silently break bit-exactness. Fails at oracle
+  // construction (Verify startup), not at diff time.
+  require(Cfg.dim == graft.sim.TransE.Config().dim &&
+    Cfg.lr == graft.sim.TransE.Config().lr &&
+    Cfg.margin == graft.sim.TransE.Config().margin &&
+    Cfg.negRate == graft.sim.TransE.Config().negRate &&
+    Cfg.seed == graft.sim.TransE.Config().seed,
+    s"KrEar.Config diverged from the shared replay core constants: $Cfg")
   private val D = Cfg.dim
   private val NRel = GraphBuild.RelationalRels.size // 2
   private val NAttr = GraphBuild.AttributionalRels.size // 5

@@ -22,6 +22,18 @@ import graft.graph.GraphBuild
 object OracleSqlMTransE {
 
   private val Cfg = MTransE.Config()
+  // drift guards: (a) the shared replay core bakes TransE.Config()'s
+  // literals (chain widths, init seed stream); (b) the alignment-pass
+  // replay below pivots EXACTLY two negative partners (n0/n1 columns)
+  // — both fail at oracle construction, not at diff time.
+  require(Cfg.dim == graft.sim.TransE.Config().dim &&
+    Cfg.lr == graft.sim.TransE.Config().lr &&
+    Cfg.margin == graft.sim.TransE.Config().margin &&
+    Cfg.seed == graft.sim.TransE.Config().seed,
+    s"MTransE.Config diverged from the shared replay core constants: $Cfg")
+  require(Cfg.negRate == 2,
+    s"the alignment-pass replay unrolls exactly 2 negative partners " +
+      s"(n0/n1 pivot) — negRate=${Cfg.negRate} needs the pivot widened")
   private val D = Cfg.dim
   private val NRel = GraphBuild.Relations.size
   private def dims = 0 until D

@@ -475,7 +475,16 @@ object OracleSqlTransE {
 
     /** The scoring CTEs after `<tag>_tj` (which must carry idA, idB,
       * label, split_a, split_b, a0.., b0..): cosine dists, robust
-      * train-split theta plateau, confusion + MRR. */
+      * train-split theta plateau, confusion + MRR.
+      *
+      * PRECONDITION (all theta-sweep oracle images — this one and the
+      * rb_, wb, vsc_ prefixed copies): a NON-EMPTY train-train slice.
+      * Threshold.bestThetaTrainSplit's degenerate-slice fallbacks
+      * (non-test pairs, then the loudly-flagged full set) are NOT
+      * replayed — on a dataset where the train slice is empty the SQL
+      * theta goes NULL and the row mismatches, which is the desired
+      * loud failure, not a silent agreement. The driver's synthetic
+      * tables always carry train-train pairs by construction. */
     def tailCtes: String = s"""
 , ${t("tsc")} AS MATERIALIZED (
   SELECT idA, idB, label, split_a, split_b,
@@ -635,6 +644,13 @@ FROM ${t("conf")}"""
     * TransE.GridDims x TransE.GridNegRel, the same axes SparkEntry
     * sweeps. */
   val gridTranse: String = {
+    // the shared relation-corruption stream is drawn with ONE rate
+    // (GridNegRel.max); the draw arithmetic (ep*negRelRate + jr)
+    // depends on the rate, so sharing is only sound while all nonzero
+    // grid rates are equal — guard the axis shape
+    require(TransE.GridNegRel.filter(_ > 0).distinct.size <= 1,
+      s"grid_transe shares one rnegs stream across combos — unequal " +
+        s"nonzero neg_rel_rates need per-rate streams: ${TransE.GridNegRel}")
     val sb = new StringBuilder
     sb ++= OracleSql.rawtCte
     // the triple set and BOTH negative-draw streams are dim-independent
@@ -661,6 +677,13 @@ FROM ${t("conf")}"""
   // --- LogisticTransH over the joint KG (graft.ml.EmbedLogistic) ---
 
   private val El = graft.ml.EmbedLogistic.Config()
+  // drift guard: elCtes unrolls through the default Replay, whose
+  // chain widths / init bound are TransE.Config().dim literals — the
+  // EmbedLogistic trainer must stay at the same width (its TransH fit
+  // passes lr/margin/negRate/seed through TransE defaults already)
+  require(El.dim == Cfg.dim,
+    s"EmbedLogistic.Config.dim (${El.dim}) diverged from the shared " +
+      s"replay width (${Cfg.dim})")
 
   /** floor(x*1e9 + 0.5)/1e9 — EmbedLogistic's q9 nano-quantizer. */
   private def q9(x: String): String =
