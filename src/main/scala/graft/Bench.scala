@@ -402,7 +402,7 @@ object Bench {
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
+    val line =
       s"""{"metric":"flagship_pipeline_total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""n_records":$nRecords,"n_candidate_pairs":$nPairs,""" +
@@ -418,6 +418,13 @@ object Bench {
       f""""efficiency_initial":$efficiencyInitial%.3f,""" +
       f""""efficiency":$efficiency%.3f,""" +
       f""""efficiency_vs_hw_uncapped":$efficiencyVsHwUncapped%.3f,""" +
-      f""""efficiency_vs_hw":$efficiencyVsHw%.3f}}""")
+      f""""efficiency_vs_hw":$efficiencyVsHw%.3f}}"""
+    // stdout (raw under run/outputStrategy := StdoutOutput) + a sidecar
+    // file, so the driver's bench parser gets a machine-readable line
+    // even if something upstream re-wraps stdout.
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+    catch { case _: Throwable => () }
   }
 }

@@ -153,6 +153,12 @@ object SparkEntry {
     "transe_eval" -> ((s, d) => sim.TransE.eval(s, d)),
     "transh_eval" -> ((s, d) =>
       sim.TransE.eval(s, d, sim.TransE.Config(transH = true))),
+    // HTransE: household/block Hungarian-assignment composite distance
+    // (assignment cost sum + pair cosine when the pair is outside the
+    // optimal matching) — thesis Tables 5.2-5.4 row HTransE. Rows-only:
+    // the Hungarian kernel is sequential per block (HTransESpec pins
+    // the composite semantics exactly).
+    "htranse_eval" -> ((s, d) => sim.HTransE.eval(s, d)),
     // --- RLTransE: per-relation value embeddings over the VEG graph ---
     "rltranse_eval" -> ((s, d) => sim.RLTransE.eval(s, d)),
     // distributed batch variant of the same offset value tables —

@@ -147,6 +147,72 @@ object Assignment {
         .select(col("block_key"), col("idA"), col("idB"), col("dist")),
       maxSide, topR)
 
+  /**
+   * Per-CELL assignment detail over an explicit (block_key, idA, idB,
+   * dist) pair set: one row per ASSIGNED cell of each block's optimal
+   * (or greedy, past `maxSide`) matching —
+   * (block_key, idA, idB, cell_micros, method). Cells the solver
+   * assigns to a MISSING pair (the dense matrix's 1.0 filler) are
+   * emitted too (cell_micros = 1e6, real idA/idB) so
+   * `SUM(cell_micros) GROUP BY block_key` reproduces the exact
+   * assignment cost the reference's `cost_matrix[row_ind, col_ind]
+   * .sum()` computes over its dense matrix
+   * (/root/reference/tests/test_transe_household.py:119-158). Same
+   * pre-shuffle pruning + per-task bounds as [[assignPairs]].
+   */
+  def assignedCells(pairs: DataFrame, maxSide: Int = 30,
+                    topR: Int = 5): DataFrame = {
+    import pairs.sparkSession.implicits._
+    prunedPairs(pairs, maxSide, topR).groupByKey(_._1).flatMapGroups {
+      (key, it) =>
+        val ps = it.map { case (_, a, b, d) => (a, b, d) }.toArray
+        val as = ps.map(_._1).distinct.sorted
+        val bs = ps.map(_._2).distinct.sorted
+        if (as.length <= maxSide && bs.length <= maxSide) {
+          val aIdx = as.zipWithIndex.toMap
+          val bIdx = bs.zipWithIndex.toMap
+          val cost = Array.fill(as.length, bs.length)(1.0)
+          ps.foreach { case (a, b, d) => cost(aIdx(a))(bIdx(b)) = d }
+          solve(cost).zipWithIndex.iterator.collect {
+            case (j, i) if j >= 0 =>
+              (key, as(i), bs(j), math.round(cost(i)(j) * 1000000),
+                "hungarian")
+          }
+        } else {
+          val sorted = ps.sortBy { case (a, b, c) => (c, a, b) }
+          val usedA = new java.util.HashSet[Long]()
+          val usedB = new java.util.HashSet[Long]()
+          sorted.iterator.filter { case (a, b, _) =>
+            if (usedA.contains(a) || usedB.contains(b)) false
+            else { usedA.add(a); usedB.add(b); true }
+          }.map { case (a, b, c) =>
+            (key, a, b, math.round(c * 1000000), "greedy")
+          }
+        }
+    }.toDF("block_key", "idA", "idB", "cell_micros", "method")
+  }
+
+  /** Shared pre-shuffle pruning of [[assignPairs]] /
+    * [[assignedCells]]. */
+  private def prunedPairs(pairs: DataFrame, maxSide: Int, topR: Int) = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wBlock = Window.partitionBy("block_key")
+    val wA = Window.partitionBy("block_key", "idA")
+      .orderBy(col("dist").asc, col("idB").asc)
+    val wB = Window.partitionBy("block_key", "idB")
+      .orderBy(col("dist").asc, col("idA").asc)
+    val maxPairs = maxSide.toLong * maxSide
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(wBlock))
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+      .filter(col("n_pairs") <= maxPairs ||
+        col("ra") <= topR || col("rb") <= topR)
+      .select(col("block_key"), col("idA"), col("idB"), col("dist"))
+      .as[(String, Long, Long, Double)]
+  }
+
   /** Core of [[blockAssignment]] over an explicit
     * (block_key, idA, idB, dist) pair set. */
   def assignPairs(pairs: DataFrame, maxSide: Int = 30,

@@ -32,6 +32,10 @@ object OracleSqlKrEar {
     Cfg.negRate == graft.sim.TransE.Config().negRate &&
     Cfg.seed == graft.sim.TransE.Config().seed,
     s"KrEar.Config diverged from the shared replay core constants: $Cfg")
+  // the SQL replay below covers ONLY the no-relation-corruption path
+  require(Cfg.negRelRate == 0,
+    s"the KrEar replay assumes negRelRate == 0 (no relation " +
+      s"corruption CTEs are emitted): $Cfg")
   private val D = Cfg.dim
   private val NRel = GraphBuild.RelationalRels.size // 2
   private val NAttr = GraphBuild.AttributionalRels.size // 5

@@ -34,6 +34,10 @@ object OracleSqlMTransE {
   require(Cfg.negRate == 2,
     s"the alignment-pass replay unrolls exactly 2 negative partners " +
       s"(n0/n1 pivot) — negRate=${Cfg.negRate} needs the pivot widened")
+  // the SQL replay below covers ONLY the no-relation-corruption path
+  require(Cfg.negRelRate == 0,
+    s"the MTransE replay assumes negRelRate == 0 (no relation " +
+      s"corruption CTEs are emitted): $Cfg")
   private val D = Cfg.dim
   private val NRel = GraphBuild.Relations.size
   private def dims = 0 until D

@@ -96,6 +96,11 @@ object TransE {
    */
   private[graft] def initComponent(matId: Int, row: Int, j: Int,
                                    seed: Long, dim: Int): Float = {
+    // stream packing allots 3 bits to matId and 6 to j: past those
+    // bounds the (seed, j) streams of ADJACENT seeds would silently
+    // alias, weakening init independence (ADVICE r4)
+    require(j < 64 && dim <= 64, s"init stream packing needs dim <= 64 (dim=$dim)")
+    require(matId < 8, s"init stream packing needs matId < 8 (matId=$matId)")
     val h = mix(row.toLong * 8L + matId, seed * 64L + j)
     val u = (h >>> 11).toDouble / 9007199254740992.0
     ((u * 2.0 - 1.0) * (6.0 / math.sqrt(dim))).toFloat
@@ -441,6 +446,24 @@ object TransE {
    */
   def pairScores(spark: SparkSession, sfDir: String,
                  cfg: Config = Config()): DataFrame = {
+    // train-once memo (the reference freezes one fit per experiment
+    // family): transe_eval, htranse_eval and the grid cells that share
+    // a config share one training + scoring pass. tailRanges carries an
+    // array (unstable toString), so the key uses the scalar fields; the
+    // ER eval path never sets it.
+    require(cfg.tailRanges.isEmpty,
+      "pairScores is the ER-graph path; per-relation tail ranges " +
+        "belong to the RLTransE batch path")
+    graft.EntryStages.memo(spark, sfDir,
+      s"transe_pairs:${cfg.dim}:${cfg.epochs}:${cfg.lr}:${cfg.margin}:" +
+        s"${cfg.negRate}:${cfg.seed}:${cfg.transH}:${cfg.normalizeRel}:" +
+        s"${cfg.negRelRate}") {
+      pairScoresUncached(spark, sfDir, cfg)
+    }
+  }
+
+  private def pairScoresUncached(spark: SparkSession, sfDir: String,
+                                 cfg: Config): DataFrame = {
     import spark.implicits._
     val ents = graft.graph.GraphBuild.erEntities(spark, sfDir)
     val nEnt = ents.count().toInt
@@ -454,20 +477,21 @@ object TransE {
         col("ent_id"))
     val entB = spark.sparkContext.broadcast(model.ent)
     graft.EntryStages.cand(spark, sfDir)
-      .select(col("idA"), col("idB"),
+      .select(col("idA"), col("idB"), col("block_key"),
         (col("dni_a") === col("dni_b")).cast("long").as("label"),
         col("split_a"), col("split_b"))
       .join(recEnt.select(col("rid").as("idA"), col("ent_id").as("entA")), "idA")
       .join(recEnt.select(col("rid").as("idB"), col("ent_id").as("entB")), "idB")
-      .select(col("idA"), col("idB"), col("entA"), col("entB"), col("label"),
-        col("split_a"), col("split_b"))
-      .as[(Long, Long, Long, Long, Long, String, String)]
+      .select(col("idA"), col("idB"), col("block_key"), col("entA"),
+        col("entB"), col("label"), col("split_a"), col("split_b"))
+      .as[(Long, Long, String, Long, Long, Long, String, String)]
       .mapPartitions { it =>
         val e = entB.value
-        it.map { case (a, b, ea, eb, lbl, sa, sb) =>
-          (a, b, Embed.cosine(e(ea.toInt), e(eb.toInt)), lbl, sa, sb)
+        it.map { case (a, b, bk, ea, eb, lbl, sa, sb) =>
+          (a, b, bk, Embed.cosine(e(ea.toInt), e(eb.toInt)), lbl, sa, sb)
         }
-      }.toDF("idA", "idB", "cos", "label", "split_a", "split_b")
+      }.toDF("idA", "idB", "block_key", "cos", "label",
+        "split_a", "split_b")
   }
 
   /** Summary row: theta swept on the TRAIN-split pairs only, F1/MRR
@@ -475,7 +499,7 @@ object TransE {
   def eval(spark: SparkSession, sfDir: String,
            cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val all = pairScores(spark, sfDir, cfg).persist()
+    val all = pairScores(spark, sfDir, cfg) // memo-persisted
     val dist = lit(1.0) - col("cos")
     val theta = graft.pipe.Threshold.bestThetaTrainSplit(
       all, dist, col("label"))
@@ -484,7 +508,6 @@ object TransE {
     val m = graft.eval.Metrics.pairMetrics(scores,
       (dist <= theta).cast("int"), col("label")).head()
     val ir = graft.eval.Metrics.irMetrics(scores, dist, col("label")).head()
-    all.unpersist()
     Seq((cfg.dim.toLong, cfg.epochs.toLong, theta,
       m.getAs[Double]("f1"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), ir.getAs[Double]("mrr")))
