@@ -41,11 +41,15 @@ object SparkEntry {
     // cos/score exported micro-rounded so the DuckDB replay of the
     // FNV-seeded projection + trigram fold hash-matches (raw doubles
     // differ in summation-order noise ~1e-15)
+    // micro grid = floor(x*1e6 + 0.5), the SAME mq6 lattice the veer
+    // features quantize on, so staged oracles can rebuild x2 from
+    // cos_micros exactly (round() would differ at negative half-grid
+    // points — cosines go negative here)
     "scored_pairs_full" -> ((s, d) =>
       Scorer.scoreDF(EntryStages.cand(s, d), Scorer.broadcastProjection(s))
         .select(col("idA"), col("idB"), col("jw"), col("lev"),
-          round(col("cos") * 1000000.0).cast("long").as("cos_micros"),
-          round(col("score") * 1000000.0).cast("long").as("score_micros"),
+          floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_micros"),
+          floor(col("score") * 1000000.0 + 0.5).cast("long").as("score_micros"),
           col("label").cast("long").as("label"),
           col("split_a"), col("split_b"))),
     // --- threshold sweep / decision (SURVEY §2.4) ---
@@ -130,6 +134,11 @@ object SparkEntry {
     }),
     "embed_logistic_metrics" -> ((s, d) => ml.EmbedLogistic.eval(s, d)),
     "embed_logistic_weights" -> ((s, d) => ml.EmbedLogistic.weights(s, d)),
+    // micro-lattice gauss features of the joint-KG TransH fit — the
+    // staged anchor the embed_logistic_* oracles read (the TransH
+    // training replay runs ONCE, here)
+    "embed_logistic_features" -> ((s, d) =>
+      ml.EmbedLogistic.pairFeatureMicros(s, d)),
     // --- VEER / WERL: learned per-column weights (SURVEY §2.7, §2.9) ---
     "veer_weights" -> ((s, d) => ml.Weights.veerWeights(s, d)),
     "veer_metrics" -> ((s, d) => ml.Weights.veerMetrics(s, d)),
@@ -165,6 +174,10 @@ object SparkEntry {
     // TransE.train with per-relation tail ranges: the RLTransE family's
     // scale path, and (unlike the sequential flagship) SQL-replayable
     "rltranse_batch_eval" -> ((s, d) => sim.RLTransE.evalBatch(s, d)),
+    // per-pair per-field micro distances of the batch fit — the staged
+    // anchor the werl_batch_* oracles read instead of re-replaying the
+    // whole batch training
+    "rltranse_batch_fields" -> ((s, d) => sim.RLTransE.batchPairFields(s, d)),
     // WERL's learned-combination tier over the BATCH fit — the whole
     // chain (embeddings + GD + swept theta) is distributed + replayable
     "werl_batch_weights" -> ((s, d) => ml.Weights.werlBatchWeights(s, d)),
@@ -281,10 +294,12 @@ object SparkEntry {
     "transh_eval" -> oracle.OracleSqlTransE.transhEval,
     "grid_transe" -> oracle.OracleSqlTransE.gridTranse,
     "rltranse_batch_eval" -> oracle.OracleSqlRLTransEBatch.rltranseBatchEval,
+    "rltranse_batch_fields" -> oracle.OracleSqlRLTransEBatch.rltranseBatchFields,
     "werl_batch_weights" -> oracle.OracleSqlRLTransEBatch.werlBatchWeights,
     "werl_batch_metrics" -> oracle.OracleSqlRLTransEBatch.werlBatchMetrics,
     "embed_logistic_metrics" -> oracle.OracleSqlTransE.embedLogisticMetrics,
     "embed_logistic_weights" -> oracle.OracleSqlTransE.embedLogisticWeights,
+    "embed_logistic_features" -> oracle.OracleSqlTransE.embedLogisticFeatures,
     "krear_eval" -> oracle.OracleSqlKrEar.krearEval,
     "mtranse_eval" -> oracle.OracleSqlMTransE.mtranseEval,
     "etranse_eval" -> oracle.OracleSqlMTransE.etranseEval,

@@ -55,8 +55,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // staged oracles read already-verified anchor dumps: bind the
+    // {{GRAFT_OUT}} token to THIS dump directory (absolute, since the
+    // driver's DuckDB may run from any cwd)
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(oracle.OracleSql.OutDirToken, outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

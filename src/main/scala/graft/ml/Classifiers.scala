@@ -248,12 +248,16 @@ object Classifiers {
     val spark0 = spark
     import spark0.implicits._
     val m = kmeansFit(spark, sfDir)
-    def micros(c: Array[Double]) = c.map(x => math.floor(x * 1e6 + 0.5).toLong)
-    val (u, mm) = (micros(m.cu), micros(m.cm))
+    // nano-integer export: centroids live on the q9 lattice, so these
+    // BIGINTs are EXACT and invertible (nanos / 1e9 reproduces the
+    // identical doubles) — what lets fs_kmeans_metrics' staged oracle
+    // reconstruct the fit instead of re-replaying Lloyd
+    def nanos(c: Array[Double]) = c.map(x => math.floor(x * 1e9 + 0.5).toLong)
+    val (u, mm) = (nanos(m.cu), nanos(m.cm))
     Seq((0L, u(0), u(1), u(2), u(3), u(4)),
         (1L, mm(0), mm(1), mm(2), mm(3), mm(4)))
-      .toDF("cluster", "c0_micros", "c1_micros", "c2_micros", "c3_micros",
-        "c4_micros")
+      .toDF("cluster", "c0_nanos", "c1_nanos", "c2_nanos", "c3_nanos",
+        "c4_nanos")
   }
 
   // ---- supervised logistic regression -------------------------------
@@ -338,15 +342,17 @@ object Classifiers {
       col("pattern").isin(matchPatterns: _*).cast("int"), col("label"))
   }
 
-  /** Learned weights in micro-units: f0..f4 rows + the intercept row —
-    * the fs analogue of veer_weights, but oracle-checkable. */
+  /** Learned weights in nano-units (EXACT on the q9 lattice, so the
+    * staged fs_logreg_metrics oracle reconstructs the identical
+    * doubles): f0..f4 rows + the intercept row — the fs analogue of
+    * veer_weights, but oracle-checkable. */
   def logRegWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val m = logRegFit(spark, sfDir)
     ((0 until NFeatures).map(i =>
-      (s"f$i", math.floor(m.w(i) * 1e6 + 0.5).toLong)) :+
-      ("intercept", math.floor(m.b * 1e6 + 0.5).toLong))
-      .toDF("feature", "weight_micros")
+      (s"f$i", math.floor(m.w(i) * 1e9 + 0.5).toLong)) :+
+      ("intercept", math.floor(m.b * 1e9 + 0.5).toLong))
+      .toDF("feature", "weight_nanos")
   }
 }

@@ -235,4 +235,18 @@ object EmbedLogistic {
       (cfg.dim.toLong, fit.b))
       .toSeq.toDF("d", "weight")
   }
+
+  /** Per-pair per-dim micro integers of [[pairFeatures]] — the staged
+    * ANCHOR for the embed_logistic_* oracles: the features are already
+    * mq6-quantized (k/1e6 doubles), so `floor(x*1e6 + 0.5)` recovers
+    * the exact lattice integer and downstream SQL reconstructs the
+    * identical doubles as `micros / 1e6`. */
+  def pairFeatureMicros(spark: SparkSession, sfDir: String,
+                        cfg: Config = Config()): DataFrame =
+    pairFeatures(spark, sfDir, cfg).select(
+      Seq(col("idA"), col("idB"), col("label"),
+        col("split_a"), col("split_b")) ++
+      (0 until cfg.dim).map(d =>
+        floor(element_at(col("feat"), d + 1) * 1e6 + lit(0.5))
+          .cast("long").as(s"x${d}_micros")): _*)
 }

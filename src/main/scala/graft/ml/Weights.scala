@@ -96,14 +96,18 @@ object Weights {
       .setMaxIter(100).setRegParam(0.001).setTol(1e-9)
       .fit(train)
 
-  /** (feature, weight_micros) rows + the intercept row. */
+  /** (feature, weight_nanos) rows + the intercept row. Nano-integer
+    * export: GD-fit weights live on the q9 lattice, so these BIGINTs
+    * are EXACT and invertible (nanos / 1e9 reproduces the identical
+    * doubles) — what lets the staged veer_metrics / werl_batch_metrics
+    * oracles reconstruct the fit instead of re-replaying the GD. */
   private def weightRows(spark: SparkSession, feats: Seq[String],
                          coefs: Array[Double], intercept: Double): DataFrame = {
     import spark.implicits._
     (feats.zip(coefs).map { case (f, w) =>
-      (f, math.round(w * 1000000)) } :+
-      ("intercept", math.round(intercept * 1000000)))
-      .toDF("feature", "weight_micros")
+      (f, math.floor(w * 1e9 + 0.5).toLong) } :+
+      ("intercept", math.floor(intercept * 1e9 + 0.5).toLong))
+      .toDF("feature", "weight_nanos")
   }
 
   /** Match-confidence distance of a fit: 1 - sigmoid(logit), in

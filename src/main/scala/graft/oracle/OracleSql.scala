@@ -19,9 +19,22 @@ object OracleSql {
   private def ducklist(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Token the staged oracles embed where the Verify dump directory
+    * belongs; [[graft.Verify]]/RunOne substitute the actual absolute
+    * outDir when writing `oracle_sql.json` (the driver-facing SQL). */
+  final val OutDirToken = "{{GRAFT_OUT}}"
+
   /** Shared derivation: records -> normalized -> keyed -> candidates ->
     * portable features/scores -> train sweep -> best threshold. */
-  val prefix: String = s"""WITH base AS (
+  val prefix: String = recordsPrefix + featsCtes + sweepCtes
+
+  /** Staged twin of [[prefix]]: identical records/cand derivation, but
+    * per-pair features read from the verified `scored_pairs_full`
+    * anchor dump (see [[anchorFeatsCtes]]). */
+  private[oracle] def aprefix: String =
+    recordsPrefix + anchorFeatsCtes + sweepCtes
+
+  private def recordsPrefix: String = s"""WITH base AS (
   SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st,
          o_totalprice AS tp, o_orderpriority AS pri
   FROM orders
@@ -98,7 +111,11 @@ object OracleSql {
          a.split AS split_a, b.split AS split_b
   FROM keyed a JOIN keyed b ON a.block_key = b.block_key
   WHERE a.side = 'A' AND b.side = 'B'
-), feats AS (
+)"""
+
+  /** First-principles feature block: DuckDB's own jaro_winkler /
+    * levenshtein over the re-derived candidate pairs. */
+  private def featsCtes: String = """, feats AS (
   SELECT *,
     jaro_winkler_similarity(content_a, content_b) AS jw,
     1.0 - CAST(levenshtein(content_a, content_b) AS DOUBLE)
@@ -107,7 +124,48 @@ object OracleSql {
   FROM cand
 ), scoredp AS (
   SELECT *, 1.0 - (0.4::DOUBLE * jw + 0.6::DOUBLE * lev) AS dist FROM feats
-), sweep_buckets AS (
+)"""
+
+  /** STAGED feature block: reads the per-pair jw/lev doubles out of the
+    * already-dumped-and-verified `scored_pairs_full` anchor instead of
+    * recomputing them. Sound because the anchor itself is checked
+    * bit-exact against a full first-principles replay (including the
+    * jw/lev kernels) in the same oracle pass — a consumer query here
+    * only re-derives ITS OWN logic (threshold sweep, ranking, closure,
+    * confusion counts) on verified inputs. `{{GRAFT_OUT}}` is replaced
+    * with the dump directory by [[graft.Verify]] / RunOne at dump
+    * time; [[graft.SparkEntry.oracleSql]] carries the raw token.
+    * jw/lev in the anchor are IEEE-identical to featsCtes' values: the
+    * scorer's equal-content short-circuit (jw=lev=1.0) coincides with
+    * the kernels' own value for equal non-empty contents, and the
+    * synthetic contents are never empty. */
+  private def anchorFeatsCtes: String = s""", feats AS (
+  SELECT idA, idB, jw, lev, CAST(label AS BIGINT) AS label,
+         split_a, split_b
+  FROM read_parquet('$OutDirToken/scored_pairs_full/*.parquet')
+), scoredp AS (
+  SELECT *, 1.0 - (0.4::DOUBLE * jw + 0.6::DOUBLE * lev) AS dist FROM feats
+)"""
+
+  /** [[anchorFeatsCtes]] + the normalized contents re-joined from the
+    * re-derived `cand` (the fs_* pattern comparators need the
+    * content-equality bit, which the anchor dump doesn't carry). */
+  private def anchorFeatsWithContentCtes: String = s""", feats AS (
+  SELECT s.idA, s.idB, s.jw, s.lev, CAST(s.label AS BIGINT) AS label,
+         s.split_a, s.split_b, c.content_a, c.content_b
+  FROM read_parquet('$OutDirToken/scored_pairs_full/*.parquet') s
+  JOIN cand c ON c.idA = s.idA AND c.idB = s.idB
+), scoredp AS (
+  SELECT *, 1.0 - (0.4::DOUBLE * jw + 0.6::DOUBLE * lev) AS dist FROM feats
+)"""
+
+  /** Staged prefix with contents (see [[anchorFeatsWithContentCtes]]). */
+  private[oracle] def aprefixC: String =
+    recordsPrefix + anchorFeatsWithContentCtes + sweepCtes
+
+  /** Train-split theta sweep + best row over `scoredp` — shared by the
+    * first-principles and staged prefixes. */
+  private def sweepCtes: String = """, sweep_buckets AS (
   SELECT CAST(ceil(dist * 50) AS INT) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
   FROM scoredp WHERE split_a = 'train' AND split_b = 'train'
@@ -130,6 +188,13 @@ object OracleSql {
 
   private[oracle] def q(body: String): String = prefix + body
 
+  /** Staged variant of [[q]]: same derivation chain, per-pair features
+    * read from the verified anchor dump instead of recomputed. */
+  private[oracle] def qa(body: String): String = aprefix + body
+
+  /** Staged-with-contents variant of [[q]] (fs_* comparators). */
+  private[oracle] def qac(body: String): String = aprefixC + body
+
   val recordsSynth: String = q(
     """SELECT id, side, repo, path, "commit", lang, content, dni, split,
        st, w1f, prif, valf FROM records""")
@@ -146,7 +211,7 @@ object OracleSql {
    * large/small-star loop converges to.
    */
   val ccClusters: String =
-    "WITH RECURSIVE " + prefix.stripPrefix("WITH ") + """
+    "WITH RECURSIVE " + aprefix.stripPrefix("WITH ") + """
 , fmax AS (SELECT max(f1) AS fm FROM sweep),
 blo AS (SELECT min(CAST(round(theta*50) AS BIGINT)) AS b FROM sweep, fmax WHERE f1 = fm),
 bhi AS (SELECT coalesce(min(CAST(round(theta*50) AS BIGINT)) - 1, (SELECT b FROM blo)) AS b
@@ -190,13 +255,13 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
   val truthPairs: String = q(
     "SELECT idA, idB FROM cand WHERE dni_a = dni_b")
 
-  val pairFeatures: String = q(
+  val pairFeatures: String = qa(
     "SELECT idA, idB, jw, lev, label FROM feats")
 
-  val thresholdSweep: String = q(
+  val thresholdSweep: String = qa(
     "SELECT theta, tp, fp, fn, f1 FROM sweep")
 
-  val thresholdBest: String = q(
+  val thresholdBest: String = qa(
     "SELECT theta, tp, fp, fn, f1 FROM best")
 
   /** Recomputes each checkpointed stage's row count from first
@@ -290,23 +355,23 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
 SELECT f.idA, f.idB,
   CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.jw END AS jw,
   CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.lev END AS lev,
-  CAST(round(CASE WHEN f.content_a = f.content_b THEN 1.0
-    ELSE coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END * 1000000)
+  CAST(floor(CASE WHEN f.content_a = f.content_b THEN 1.0
+    ELSE coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END * 1000000 + 0.5)
     AS BIGINT) AS cos_micros,
-  CAST(round(CASE WHEN f.content_a = f.content_b THEN 1.0
+  CAST(floor(CASE WHEN f.content_a = f.content_b THEN 1.0
     ELSE 0.3 * f.jw + 0.4 * f.lev
-       + 0.3 * coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END * 1000000)
+       + 0.3 * coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END * 1000000 + 0.5)
     AS BIGINT) AS score_micros,
   f.label, f.split_a, f.split_b
 FROM feats f
 LEFT JOIN tgvec va ON va.id = f.idA
 LEFT JOIN tgvec vb ON vb.id = f.idB""")
 
-  val matchEdges: String = q(
+  val matchEdges: String = qa(
     """SELECT idA AS src, idB AS dst, dist FROM scoredp
        WHERE dist <= (SELECT theta FROM best)""")
 
-  val pairMetrics: String = q(
+  val pairMetrics: String = qa(
     """, conf AS (
       SELECT
         CAST(SUM(CASE WHEN dist <= (SELECT theta FROM best) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -363,12 +428,12 @@ LEFT JOIN tgvec vb ON vb.id = f.idB""")
     SELECT idA, idB, dist FROM mnn WHERE ra = 1 AND rb = 1
     ORDER BY dist, idA LIMIT 100""")
 
-  val topkFn: String = q(
+  val topkFn: String = qa(
     """SELECT idA, idB, dist FROM scoredp
        WHERE label = 1 AND dist > (SELECT theta FROM best)
        ORDER BY dist ASC, idA, idB LIMIT 5""")
 
-  val topkFp: String = q(
+  val topkFp: String = qa(
     """SELECT idA, idB, dist FROM scoredp
        WHERE label = 0 AND dist <= (SELECT theta FROM best)
        ORDER BY dist ASC, idA, idB LIMIT 5""")
@@ -378,7 +443,7 @@ LEFT JOIN tgvec vb ON vb.id = f.idB""")
   private[oracle] def relValSql(rel: String): String =
     if (rel == "block") "block_key" else rel
 
-  private def readableSql(pairFilter: String): String = q(s""", topp AS (
+  private def readableSql(pairFilter: String): String = qa(s""", topp AS (
       SELECT idA, idB, dist FROM scoredp
       WHERE $pairFilter
       ORDER BY dist ASC, idA, idB LIMIT 5)
@@ -603,14 +668,21 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
       ecmWCte(EcmIters)
   }
 
-  val fsEcmPatterns: String = q(ecmChain + s"""
+  val fsEcmPatterns: String = qac(ecmChain + s"""
     SELECT pattern, n,
       CAST(round(w * 1000000) AS BIGINT) AS posterior_micros,
       CAST(CASE WHEN w >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS predicted_match
     FROM w${EcmIters + 1}""")
 
-  val fsEcmMetrics: String = q(ecmChain + s""", mpat AS (
-      SELECT pattern FROM w${EcmIters + 1} WHERE w >= 0.5
+  /** STAGED: the EM fit itself is verified by [[fsEcmPatterns]]' full
+    * 120-iteration replay; the metrics row re-derives only its own
+    * logic — pattern binning over anchored features, the match-pattern
+    * set read from the verified patterns dump (`predicted_match` is an
+    * exact BIGINT), test-split confusion counts. */
+  val fsEcmMetrics: String = qac(ecmPatternCte + s""", mpat AS (
+      SELECT pattern
+      FROM read_parquet('$OutDirToken/fs_ecm_patterns/*.parquet')
+      WHERE predicted_match = 1
     ), testf AS (
       SELECT CASE WHEN pattern IN (SELECT pattern FROM mpat) THEN 1 ELSE 0 END AS pred,
              label
@@ -698,20 +770,44 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
       kmAssignCte(KmIters)
   }
 
-  val fsKmeansCentroids: String = q(kmChain + s"""
+  val fsKmeansCentroids: String = qac(kmChain + s"""
     SELECT CAST(0 AS BIGINT) AS cluster,
       ${EcmBits.indices.map(i =>
-        s"CAST(floor(u$i * 1e6 + 0.5) AS BIGINT) AS c${i}_micros").mkString(", ")}
+        s"CAST(floor(u$i * 1e9 + 0.5) AS BIGINT) AS c${i}_nanos").mkString(", ")}
     FROM kc$KmIters
     UNION ALL
     SELECT CAST(1 AS BIGINT) AS cluster,
       ${EcmBits.indices.map(i =>
-        s"CAST(floor(m$i * 1e6 + 0.5) AS BIGINT) AS c${i}_micros").mkString(", ")}
+        s"CAST(floor(m$i * 1e9 + 0.5) AS BIGINT) AS c${i}_nanos").mkString(", ")}
     FROM kc$KmIters""")
 
-  val fsKmeansMetrics: String = q(kmChain + s""", testf AS (
+  /** STAGED: the Lloyd fit is verified by [[fsKmeansCentroids]]' full
+    * replay; centroids live on the q9 nano lattice, so the nano-integer
+    * dump is EXACT and `nanos / 1e9` reconstructs the identical IEEE
+    * doubles in both engines. The metrics row re-derives only the
+    * final assignment (squared distances, tie -> non-match — no
+    * transcendentals) + confusion counts. */
+  val fsKmeansMetrics: String = {
+    def dist(param: Int => String) = EcmBits.zipWithIndex.map { case (bit, i) =>
+      val d = s"(${bitD("h.pattern", bit)} - ${param(i)})"
+      s"$d * $d"
+    }.mkString(" + ")
+    qac(ecmPatternCte + s""", kcf AS (
+      SELECT
+        ${EcmBits.indices.map(i =>
+          s"MAX(CASE WHEN cluster = 1 THEN c${i}_nanos END) / 1e9 AS m$i," +
+          s" MAX(CASE WHEN cluster = 0 THEN c${i}_nanos END) / 1e9 AS u$i")
+          .mkString(",\n        ")}
+      FROM read_parquet('$OutDirToken/fs_kmeans_centroids/*.parquet')
+    ), kaf AS (
+      SELECT pattern, CASE WHEN dm < du THEN 1 ELSE 0 END AS cl
+      FROM (SELECT h.pattern,
+        ${dist(i => s"c.m$i")} AS dm,
+        ${dist(i => s"c.u$i")} AS du
+        FROM hist h, kcf c) x
+    ), testf AS (
       SELECT a.cl AS pred, f.label
-      FROM fpat f JOIN ka$KmIters a ON f.pattern = a.pattern
+      FROM fpat f JOIN kaf a ON f.pattern = a.pattern
       WHERE f.split_a = 'test' AND f.split_b = 'test'
     ), conf AS (
       SELECT
@@ -726,6 +822,7 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
       CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
       (tp + tn) / (tp + fp + fn + tn) AS accuracy
     FROM conf""")
+  }
 
   /** Logit under lw$k for `colRef`'s pattern: w0*f0 + .. + w4*f4 + b,
     * the exact accumulation order of LrModel.logit. */
@@ -773,14 +870,29 @@ ${ks.map(k => s"        CAST(SUM(CAST(round(hits_$k * 1000000.0 / $k) AS BIGINT)
     )"""
   }
 
-  val fsLogregWeights: String = q(lrChain + s"""
+  val fsLogregWeights: String = qac(lrChain + s"""
     ${EcmBits.indices.map(i =>
-      s"SELECT 'f$i' AS feature, CAST(floor(w$i * 1e6 + 0.5) AS BIGINT) AS weight_micros FROM lw$LrIters")
+      s"SELECT 'f$i' AS feature, CAST(floor(w$i * 1e9 + 0.5) AS BIGINT) AS weight_nanos FROM lw$LrIters")
       .mkString("\n    UNION ALL\n    ")}
     UNION ALL
-    SELECT 'intercept' AS feature, CAST(floor(b * 1e6 + 0.5) AS BIGINT) AS weight_micros FROM lw$LrIters""")
+    SELECT 'intercept' AS feature, CAST(floor(b * 1e9 + 0.5) AS BIGINT) AS weight_nanos FROM lw$LrIters""")
 
-  val fsLogregMetrics: String = q(lrChain + s""", testf AS (
+  /** STAGED: the GD fit is verified by [[fsLogregWeights]]' full
+    * replay; weights live on the q9 nano lattice so `nanos / 1e9`
+    * reconstructs the identical IEEE doubles. The metrics row
+    * re-derives only the decision (logit sign — no transcendentals,
+    * mirroring LrModel.isMatch) + confusion counts. */
+  val fsLogregMetrics: String = qac(ecmPatternCte + s""", lwf AS (
+      SELECT
+        ${EcmBits.indices.map(i =>
+          s"MAX(CASE WHEN feature = 'f$i' THEN weight_nanos END) / 1e9 AS w$i")
+          .mkString(",\n        ")},
+        MAX(CASE WHEN feature = 'intercept' THEN weight_nanos END) / 1e9 AS b
+      FROM read_parquet('$OutDirToken/fs_logreg_weights/*.parquet')
+    ), lpred AS (
+      SELECT h.pattern, CASE WHEN ${lrLogit("h.pattern")} >= 0 THEN 1 ELSE 0 END AS pred
+      FROM hist h, lwf w
+    ), testf AS (
       SELECT p.pred, f.label
       FROM fpat f JOIN lpred p ON f.pattern = p.pattern
       WHERE f.split_a = 'test' AND f.split_b = 'test'

@@ -239,17 +239,29 @@ FROM rb_conf""")
   private def fcsv(f: Int => String) = fdims.map(f).mkString(",\n    ")
   private def fchain(f: Int => String) = fdims.map(f).mkString(" + ")
 
-  /** Channel + GD CTEs shared by the two werl_batch oracles: x_i =
-    * micro-quantized f_<rel> in ScoredRels order (the Scala feat array
-    * layout), then the shared balanced-GD unroll. Leaves `wbit<iters>`
-    * (w0..w{n-1}, b) and `wbf`. */
-  private def werlGdCtes(sb: StringBuilder): Unit = {
+  /** The per-pair per-field micro distances of the batch fit — the
+    * staged ANCHOR: full batch-training replay through `fwide`, each
+    * field micro-quantized on the mq6 grid (floor(x*1e6 + 0.5), the
+    * same lattice the WERL channels use). */
+  val rltranseBatchFields: String = OracleSql.q(coreCtes + s"""
+SELECT idA, idB, label, split_a, split_b,
+  ${Scored.map(rel =>
+      s"CAST(floor(f_$rel * 1000000.0 + 0.5) AS BIGINT) AS f_${rel}_micros")
+      .mkString(",\n  ")}
+FROM fwide""")
+
+  /** STAGED channel CTEs shared by the two werl_batch oracles: x_i =
+    * the verified anchor's micro integers / 1e6 (exactly the mq6 value
+    * — floor()'s DOUBLE k and the dump's BIGINT k divide identically)
+    * in ScoredRels order (the Scala feat array layout). Leaves `wbf`
+    * / `wbtrain` / `wbnc`. */
+  private def werlChannelCtes(sb: StringBuilder): Unit = {
     sb ++= s"""
 , wbf AS MATERIALIZED (
-  SELECT idA, idB, label, split_a, split_b,
+  SELECT idA, idB, CAST(label AS BIGINT) AS label, split_a, split_b,
     ${Scored.zipWithIndex.map { case (rel, i) =>
-        s"${OracleSqlGd.mq6(s"f_$rel")} AS x$i" }.mkString(",\n    ")}
-  FROM fwide
+        s"f_${rel}_micros / 1000000.0 AS x$i" }.mkString(",\n    ")}
+  FROM read_parquet('${OracleSql.OutDirToken}/rltranse_batch_fields/*.parquet')
 )
 , wbtrain AS MATERIALIZED (
   SELECT label, ${fdims.map(d => s"x$d").mkString(", ")} FROM wbf
@@ -257,16 +269,34 @@ FROM rb_conf""")
 )
 , wbnc AS (SELECT CAST(SUM(label) AS BIGINT) AS np,
     CAST(SUM(1 - label) AS BIGINT) AS nn FROM wbtrain)"""
+  }
+
+  /** [[werlChannelCtes]] + the balanced-GD unroll (`wbit<iters>`). */
+  private def werlGdCtes(sb: StringBuilder): Unit = {
+    werlChannelCtes(sb)
     OracleSqlGd.gdCtes(sb, "wbit", nF, "wbtrain", "wbnc",
       WCfg.WerlBatchLr, WCfg.WerlBatchReg, WCfg.WerlBatchIters)
   }
 
   /** werl_batch_metrics: dist = 1 - sigmoid(logit), train-swept theta
-    * plateau, test confusion — the pairMetrics output shape. */
+    * plateau, test confusion — the pairMetrics output shape.
+    * STAGED twice over: channels from the verified
+    * [[rltranseBatchFields]] anchor, GD weights reconstructed exactly
+    * from the verified [[werlBatchWeights]] nano dump — this row
+    * re-derives only scoring + sweep + confusion. */
   val werlBatchMetrics: String = {
-    val sb = new StringBuilder(coreCtes)
-    werlGdCtes(sb)
-    val it = s"wbit${WCfg.WerlBatchIters}"
+    val sb = new StringBuilder
+    werlChannelCtes(sb)
+    val it = "wbwf"
+    sb ++= s"""
+, wbwf AS (
+  SELECT
+    ${fdims.map(d =>
+      s"MAX(CASE WHEN feature = '${WCfg.WerlFeatures(d)}' THEN " +
+      s"weight_nanos END) / 1e9 AS w$d").mkString(",\n    ")},
+    MAX(CASE WHEN feature = 'intercept' THEN weight_nanos END) / 1e9 AS b
+  FROM read_parquet('${OracleSql.OutDirToken}/werl_batch_weights/*.parquet')
+)"""
     val zf = fchain(d => s"i.w$d * f.x$d")
     sb ++= s"""
 , wbsc AS MATERIALIZED (
@@ -313,17 +343,19 @@ FROM wbconf"""
     OracleSql.q(sb.toString)
   }
 
-  /** werl_batch_weights: (feature, weight_micros) rows + intercept —
-    * floor(w*1e6 + 0.5) on the nano-quantized weights. */
+  /** werl_batch_weights: (feature, weight_nanos) rows + intercept —
+    * exact nano-lattice integers. STAGED: channels read from the
+    * verified [[rltranseBatchFields]] anchor; the balanced-GD chain is
+    * still replayed in full here (this query IS the fit's oracle). */
   val werlBatchWeights: String = {
-    val sb = new StringBuilder(coreCtes)
+    val sb = new StringBuilder
     werlGdCtes(sb)
     val names = WCfg.WerlFeatures :+ "intercept"
     val pick = fdims.map(d => s"WHEN $d THEN i.w$d").mkString(" ")
     sb ++= s"""
 SELECT f.feature,
-  CAST(floor((CASE f.d $pick ELSE i.b END) * 1000000.0 + 0.5) AS BIGINT)
-    AS weight_micros
+  CAST(floor((CASE f.d $pick ELSE i.b END) * 1e9 + 0.5) AS BIGINT)
+    AS weight_nanos
 FROM wbit${WCfg.WerlBatchIters} i
 CROSS JOIN (VALUES ${names.zipWithIndex
       .map { case (n, i) => s"($i, '$n')" }.mkString(", ")}) f(d, feature)"""

@@ -689,11 +689,10 @@ FROM ${t("conf")}"""
   private def q9(x: String): String =
     s"floor(($x) * 1000000000.0 + 0.5) / 1000000000.0"
 
-  /** Joint-KG TransH replay + micro-quantized gauss features + the
-    * class-balanced GD chain (one MATERIALIZED gradient + params CTE
-    * pair per iteration, the ECM/fs_logreg pattern). Leaves
-    * `el_it<iters>` (w0..w<dim-1>, b) and `el_feat`. */
-  private def elCtes(sb: StringBuilder): Unit = {
+  /** Joint-KG TransH replay + micro-quantized gauss features — the
+    * expensive prefix, run ONCE by the [[embedLogisticFeatures]]
+    * anchor. Leaves `el_feat`. */
+  private def elFeatCtes(sb: StringBuilder): Unit = {
     default.trainCtes(sb, transH = true, NRel + 1, El.epochs,
       jointTripleSelect)
     val fin = s"te_e${El.epochs}"
@@ -715,7 +714,38 @@ FROM ${t("conf")}"""
   JOIN $fin ea ON ea.ent_id = ra.ent_id
   JOIN te_recent rb ON rb.rid = c.idB
   JOIN $fin eb ON eb.ent_id = rb.ent_id
-)
+)"""
+  }
+
+  /** The staged anchor query: full joint-TransH + gauss replay,
+    * exported as exact micro-lattice integers. */
+  val embedLogisticFeatures: String = {
+    val sb = new StringBuilder
+    elFeatCtes(sb)
+    sb ++= s"""
+SELECT idA, idB, label, split_a, split_b,
+  ${csv(d => s"CAST(floor(x$d * 1000000.0 + 0.5) AS BIGINT) AS x${d}_micros")}
+FROM el_feat"""
+    OracleSql.q(sb.toString)
+  }
+
+  /** STAGED feature CTE: `el_feat` reconstructed exactly from the
+    * verified [[embedLogisticFeatures]] anchor (`micros / 1e6` is the
+    * identical IEEE division both engines perform on the mq6 grid). */
+  private def elAnchorFeatCte(sb: StringBuilder): Unit =
+    sb ++= s"""
+, el_feat AS MATERIALIZED (
+  SELECT idA, idB, CAST(label AS BIGINT) AS label, split_a, split_b,
+    ${csv(d => s"x${d}_micros / 1000000.0 AS x$d")}
+  FROM read_parquet('${OracleSql.OutDirToken}/embed_logistic_features/*.parquet')
+)"""
+
+  /** Staged channels + the class-balanced GD chain (one MATERIALIZED
+    * gradient + params CTE pair per iteration, the ECM/fs_logreg
+    * pattern). Leaves `el_it<iters>` (w0..w<dim-1>, b) and `el_feat`. */
+  private def elCtes(sb: StringBuilder): Unit = {
+    elAnchorFeatCte(sb)
+    sb ++= s"""
 , el_train AS MATERIALIZED (
   SELECT label, ${dims.map(d => s"x$d").mkString(", ")} FROM el_feat
   WHERE split_a = 'train' AND split_b = 'train'
@@ -756,10 +786,22 @@ FROM ${t("conf")}"""
     }
   }
 
-  /** embed_logistic_metrics: test-split confusion of `logit >= 0`. */
+  /** embed_logistic_metrics: test-split confusion of `logit >= 0`.
+    * STAGED twice over: features from the verified
+    * [[embedLogisticFeatures]] anchor, weights read back from the
+    * verified [[embedLogisticWeights]] dump (raw nano-lattice doubles
+    * — parquet roundtrips them exactly); only the decision (logit
+    * sign, no transcendentals) + confusion are re-derived. */
   val embedLogisticMetrics: String = {
     val sb = new StringBuilder
-    elCtes(sb)
+    elAnchorFeatCte(sb)
+    sb ++= s"""
+, el_wf AS (
+  SELECT
+    ${csv(d => s"MAX(CASE WHEN d = $d THEN weight END) AS w$d")},
+    MAX(CASE WHEN d = ${Cfg.dim} THEN weight END) AS b
+  FROM read_parquet('${OracleSql.OutDirToken}/embed_logistic_weights/*.parquet')
+)"""
     val fitZ = chain(d => s"i.w$d * f.x$d")
     sb ++= s"""
 , el_conf AS (
@@ -768,7 +810,7 @@ FROM ${t("conf")}"""
     CAST(SUM(CASE WHEN ($fitZ + i.b) >= 0 AND f.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
     CAST(SUM(CASE WHEN ($fitZ + i.b) < 0 AND f.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
     CAST(SUM(CASE WHEN ($fitZ + i.b) < 0 AND f.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-  FROM el_feat f CROSS JOIN el_it${El.iters} i
+  FROM el_feat f CROSS JOIN el_wf i
   WHERE f.split_a = 'test' AND f.split_b = 'test'
 )
 SELECT tp, fp, fn, tn,

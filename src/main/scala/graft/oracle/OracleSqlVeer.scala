@@ -48,19 +48,24 @@ object OracleSqlVeer {
     s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
   /** Feature + train-slice + class-count CTEs shared by all veer
-    * oracles. x0..x2 = micro-quantized (jw, lev, cos) with the
-    * scorer's equal-content short-circuit (also covers DuckDB's
-    * jw('','') = 0.0 edge). */
-  private val featCtes: String = OracleSql.tgvecCtes + s"""
+    * oracles. STAGED: x0..x2 = micro-quantized (jw, lev, cos) read
+    * from the verified `scored_pairs_full` anchor dump — jw/lev are
+    * the anchor's IEEE-exact doubles mq6-quantized here (the scorer's
+    * equal-content short-circuit is already applied in the anchor,
+    * and equals the kernels' own 1.0 for equal non-empty contents);
+    * cos_micros IS the mq6 lattice integer (the anchor exports
+    * floor(cos*1e6 + 0.5)), so `cos_micros / 1e6` reproduces
+    * mq6(cos) exactly. The anchor itself is verified bit-exact
+    * against the full tgvec/FNV first-principles replay in the same
+    * oracle pass. */
+  private val featCtes: String = s"""
 , vf AS MATERIALIZED (
-  SELECT f.idA, f.idB, f.label, f.split_a, f.split_b,
-    ${mq6("CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.jw END")} AS x0,
-    ${mq6("CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE f.lev END")} AS x1,
-    ${mq6("CASE WHEN f.content_a = f.content_b THEN 1.0 ELSE " +
-      "coalesce(list_cosine_similarity(va.v, vb.v), 0.0) END")} AS x2
-  FROM feats f
-  LEFT JOIN tgvec va ON va.id = f.idA
-  LEFT JOIN tgvec vb ON vb.id = f.idB
+  SELECT f.idA, f.idB, CAST(f.label AS BIGINT) AS label,
+    f.split_a, f.split_b,
+    ${mq6("f.jw")} AS x0,
+    ${mq6("f.lev")} AS x1,
+    f.cos_micros / 1000000.0 AS x2
+  FROM read_parquet('${OracleSql.OutDirToken}/scored_pairs_full/*.parquet') f
 )
 , vtrain AS MATERIALIZED (
   SELECT label, ${dims.map(d => s"x$d").mkString(", ")} FROM vf
@@ -156,9 +161,8 @@ object OracleSqlVeer {
 )"""
   }
 
-  /** veer_weights: (feature, weight_micros) rows + the intercept row —
-    * floor(w*1e6 + 0.5) = Scala math.round on the nano-quantized
-    * weights. */
+  /** veer_weights: (feature, weight_nanos) rows + the intercept row —
+    * exact nano-lattice integers off the full GD-chain replay. */
   val veerWeights: String = {
     val sb = new StringBuilder(featCtes)
     gdCtes(sb, "vit", Weights.VeerReg, Weights.VeerIters)
@@ -166,26 +170,38 @@ object OracleSqlVeer {
     val pick = dims.map(d => s"WHEN $d THEN i.w$d").mkString(" ")
     sb ++= s"""
 SELECT f.feature,
-  CAST(floor((CASE f.d $pick ELSE i.b END) * 1000000.0 + 0.5) AS BIGINT)
-    AS weight_micros
+  CAST(floor((CASE f.d $pick ELSE i.b END) * 1e9 + 0.5) AS BIGINT)
+    AS weight_nanos
 FROM vit${Weights.VeerIters} i
 CROSS JOIN (VALUES ${names.zipWithIndex
       .map { case (n, i) => s"($i, '$n')" }.mkString(", ")}) f(d, feature)"""
     OracleSql.q(sb.toString)
   }
 
-  /** veer_metrics: test-split pair metrics of the default fit. */
+  /** veer_metrics: test-split pair metrics of the default fit.
+    * STAGED: the GD fit is verified by [[veerWeights]]' full chain
+    * replay; this row reconstructs the exact lattice weights from the
+    * verified nanos dump (`nanos / 1e9`) and re-derives only scoring +
+    * theta plateau + confusion. */
   val veerMetrics: String = {
     val sb = new StringBuilder(featCtes)
-    gdCtes(sb, "vit", Weights.VeerReg, Weights.VeerIters)
-    sb ++= confSql(s"vit${Weights.VeerIters}")
+    sb ++= s"""
+, vwf AS (
+  SELECT
+    ${dims.map(d =>
+      s"MAX(CASE WHEN feature = '${Weights.VeerFeatures(d)}' THEN " +
+      s"weight_nanos END) / 1e9 AS w$d").mkString(",\n    ")},
+    MAX(CASE WHEN feature = 'intercept' THEN weight_nanos END) / 1e9 AS b
+  FROM read_parquet('${OracleSql.OutDirToken}/veer_weights/*.parquet')
+)"""
+    sb ++= confSql("vwf")
     sb ++= s"""
 SELECT tp, fp, fn, tn,
   CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
   CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
   CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
   (tp + tn) / (tp + fp + fn + tn) AS accuracy
-FROM vconf_vit${Weights.VeerIters}"""
+FROM vconf_vwf"""
     OracleSql.q(sb.toString)
   }
 

@@ -350,6 +350,22 @@ object RLTransE {
    * reference's unweighted "mean embedding" record distance
    * (/root/reference/werl.py:335-358).
    */
+  /** Per-pair per-field distances of the BATCH fit, micro-quantized —
+    * the staged-oracle ANCHOR for the werl_batch_* family: the 1e-6
+    * grid is exactly the mq6 lattice the WERL channels quantize on, so
+    * the DuckDB replay compares these BIGINTs exactly and downstream
+    * oracles reconstruct the channels as `micros / 1e6`. */
+  def batchPairFields(spark: SparkSession, sfDir: String,
+                      cfg: TransE.Config = BatchCfg): DataFrame = {
+    val model = trainBatch(spark, sfDir, cfg)
+    fieldScores(spark, sfDir, model, testOnly = false)
+      .select(Seq(col("idA"), col("idB"), col("label"),
+        col("split_a"), col("split_b")) ++
+        ScoredRels.map(r =>
+          floor(col(s"f_$r") * 1e6 + lit(0.5)).cast("long")
+            .as(s"f_${r}_micros")): _*)
+  }
+
   def fieldScores(spark: SparkSession, sfDir: String, model: Model,
                   testOnly: Boolean = true,
                   l1: Boolean = false): DataFrame = {
