@@ -268,15 +268,20 @@ object OracleSqlKrEar {
       "kr_p0", "rid", "p", normalize = true)
     // negative draws, both encoders, all epochs at once — the Scala
     // kernels' mix(h*31+t, ep*negRate+j) / mix(h*37+v, (ep+7919)*negRate+j)
+    // x prefixes folded once per triple (constant across the (ep, j)
+    // grid) — byte-identical splits of the two draw chains
+    sb ++= OracleSql.fnvMixChainW("krp", "kr_relt",
+      "(h * 31 + t)::HUGEINT", "", 6, -1)
     sb ++= s"""
 , kr_rns AS (
-  SELECT t.h, t.t, t.r, e.ep, j.j
-  FROM kr_relt t CROSS JOIN range(0, ${Cfg.epochs}) e(ep)
+  SELECT t.h, t.t, t.r, t.krp_h AS pfh, e.ep, j.j
+  FROM krp4 t CROSS JOIN range(0, ${Cfg.epochs}) e(ep)
   CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
     sb ++= OracleSql.fnvMixChainW("krn", "kr_rns",
-      "(h * 31 + t)::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT",
-      6, OracleSqlTransE.bytesFor(Cfg.epochs.toLong * Cfg.negRate - 1))
+      s"(ep * ${Cfg.negRate} + j)::HUGEINT", "",
+      OracleSqlTransE.bytesFor(Cfg.epochs.toLong * Cfg.negRate - 1), -1,
+      init = Some("pfh"))
     sb ++= s"""
 , kr_rnegs AS MATERIALIZED (
   SELECT h, t, r, ep, tn FROM (
@@ -285,16 +290,20 @@ object OracleSqlKrEar {
     FROM krn4 CROSS JOIN kr_n nn
   ) WHERE tn <> t
 )
+"""
+    sb ++= OracleSql.fnvMixChainW("kap", "kr_attrt",
+      "(h * 37 + v)::HUGEINT", "", 6, -1)
+    sb ++= s"""
 , kr_ans AS (
-  SELECT t.h, t.v, t.a, e.ep, j.j
-  FROM kr_attrt t CROSS JOIN range(0, ${Cfg.epochs}) e(ep)
+  SELECT t.h, t.v, t.a, t.kap_h AS pfh, e.ep, j.j
+  FROM kap4 t CROSS JOIN range(0, ${Cfg.epochs}) e(ep)
   CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
     sb ++= OracleSql.fnvMixChainW("kan", "kr_ans",
-      "(h * 37 + v)::HUGEINT",
-      s"((ep + 7919) * ${Cfg.negRate} + j)::HUGEINT",
-      6, OracleSqlTransE.bytesFor(
-        (Cfg.epochs.toLong - 1 + 7919) * Cfg.negRate + Cfg.negRate - 1))
+      s"((ep + 7919) * ${Cfg.negRate} + j)::HUGEINT", "",
+      OracleSqlTransE.bytesFor(
+        (Cfg.epochs.toLong - 1 + 7919) * Cfg.negRate + Cfg.negRate - 1),
+      -1, init = Some("pfh"))
     sb ++= s"""
 , kr_anegs AS MATERIALIZED (
   SELECT h, v, a, ep, vn FROM (

@@ -313,13 +313,18 @@ $vt
         "mtv0", "rid", "v", normalize = false)
     // negative draws: per-side tail corruption + alignment partners
     val yKg = OracleSqlTransE.bytesFor(Cfg.epochs.toLong * Cfg.negRate - 1)
+    // x prefixes folded once per triple / alignment pair (constant
+    // across the (ep, j) grid) — byte-identical splits of the chains
+    sb ++= OracleSql.fnvMixChainW("mnap", "mt_ta",
+      "(h * 31 + t + 0)::HUGEINT", "", 6, -1)
     sb ++= s"""
 , mt_ansrc AS (
-  SELECT t.h, t.t, t.r, e.ep, j.j FROM mt_ta t
+  SELECT t.h, t.t, t.r, t.mnap_h AS pfh, e.ep, j.j FROM mnap4 t
   CROSS JOIN range(0, ${Cfg.epochs}) e(ep) CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
     sb ++= OracleSql.fnvMixChainW("mna", "mt_ansrc",
-      "(h * 31 + t + 0)::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT", 6, yKg)
+      s"(ep * ${Cfg.negRate} + j)::HUGEINT", "", yKg, -1,
+      init = Some("pfh"))
     sb ++= s"""
 , mt_anegs AS MATERIALIZED (
   SELECT h, t, r, ep, tn FROM (
@@ -328,12 +333,17 @@ $vt
     FROM mna4 CROSS JOIN mt_n nn
   ) WHERE tn <> t
 )
+"""
+    sb ++= OracleSql.fnvMixChainW("mnbp", "mt_tb",
+      "(h * 31 + t + 131)::HUGEINT", "", 6, -1)
+    sb ++= s"""
 , mt_bnsrc AS (
-  SELECT t.h, t.t, t.r, e.ep, j.j FROM mt_tb t
+  SELECT t.h, t.t, t.r, t.mnbp_h AS pfh, e.ep, j.j FROM mnbp4 t
   CROSS JOIN range(0, ${Cfg.epochs}) e(ep) CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
     sb ++= OracleSql.fnvMixChainW("mnb", "mt_bnsrc",
-      "(h * 31 + t + 131)::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT", 6, yKg)
+      s"(ep * ${Cfg.negRate} + j)::HUGEINT", "", yKg, -1,
+      init = Some("pfh"))
     sb ++= s"""
 , mt_bnegs AS MATERIALIZED (
   SELECT h, t, r, ep, tn FROM (
@@ -342,15 +352,19 @@ $vt
     FROM mnb4 CROSS JOIN mt_n nn
   ) WHERE tn <> t
 )
+"""
+    sb ++= OracleSql.fnvMixChainW("mnlp", "mt_al",
+      "(a * 53 + b)::HUGEINT", "", 6, -1)
+    sb ++= s"""
 , mt_alsrc AS (
-  SELECT t.a, t.b, t.r, e.ep, j.j FROM mt_al t
+  SELECT t.a, t.b, t.r, t.mnlp_h AS pfh, e.ep, j.j FROM mnlp4 t
   CROSS JOIN range(0, ${Cfg.epochs}) e(ep) CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
     sb ++= OracleSql.fnvMixChainW("mnl", "mt_alsrc",
-      "(a * 53 + b)::HUGEINT",
-      s"((ep + 104729) * ${Cfg.negRate} + j)::HUGEINT", 6,
+      s"((ep + 104729) * ${Cfg.negRate} + j)::HUGEINT", "",
       OracleSqlTransE.bytesFor(
-        (Cfg.epochs.toLong - 1 + 104729) * Cfg.negRate + Cfg.negRate - 1))
+        (Cfg.epochs.toLong - 1 + 104729) * Cfg.negRate + Cfg.negRate - 1),
+      -1, init = Some("pfh"))
     sb ++= s"""
 , mt_alnegs AS MATERIALIZED (
   SELECT a, b, r, ep, j, bn FROM (

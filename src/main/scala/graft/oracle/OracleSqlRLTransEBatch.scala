@@ -82,16 +82,22 @@ object OracleSqlRLTransEBatch {
       normalize = true)
     R.initMatrix(sb, "ter", "te_rsrc", "rid", 1, 2, "te_r0", "rid", "r",
       normalize = false)
+    // idx prefix folded once per triple (constant across the (ep, j)
+    // grid) — byte-identical split of the draw chain, ~negRate*epochs x
+    // fewer 7-byte folds
+    sb ++= OracleSql.fnvMixChainW("tetp", "te_trip", "idx::HUGEINT", "",
+      7, -1)
     sb ++= s"""
 , te_negsrc AS (
-  SELECT t.h, t.t, t.r, t.idx, e.ep, j.j
-  FROM te_trip t
+  SELECT t.h, t.t, t.r, t.tetp_h AS pfh, e.ep, j.j
+  FROM tetp4 t
   CROSS JOIN range(0, $E) e(ep)
   CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
     sb ++= OracleSql.fnvMixChainW("ten", "te_negsrc",
-      "idx::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT",
-      7, OracleSqlTransE.bytesFor((E.toLong * Cfg.negRate - 1) max 1))
+      s"(ep * ${Cfg.negRate} + j)::HUGEINT", "",
+      OracleSqlTransE.bytesFor((E.toLong * Cfg.negRate - 1) max 1), -1,
+      init = Some("pfh"))
     sb ++= s"""
 , te_negs AS MATERIALIZED (
   SELECT h, t, r, ep, tn FROM (

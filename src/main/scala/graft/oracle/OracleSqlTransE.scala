@@ -225,6 +225,18 @@ object OracleSqlTransE {
   SELECT h, t, r, (h * $nRel + r) * ${sh("n")}.ne + t AS idx
   FROM ${t("rawtrip")} CROSS JOIN ${sh("n")}
 )"""
+      // the x side of every draw chain (the 7-byte idx fold + its pad
+      // multiply) is constant across the (epoch, j) grid — fold it ONCE
+      // per triple here instead of once per (triple x epoch x negRate)
+      // row in the expanded draw sources (byte-identical: the FNV fold
+      // is sequential, so splitting after the x pad is the same op
+      // sequence with the suffix chain seeded from `pfh`)
+      sb ++= OracleSql.fnvMixChainW(tag + "tp", sh("trip"),
+        "idx::HUGEINT", "", 7, -1)
+      sb ++= s"""
+, ${sh("tripf")} AS (
+  SELECT h, t, r, idx, ${tag}tp_h AS pfh FROM ${tag}tp4
+)"""
     }
 
     private def negCtes(sb: StringBuilder, nRel: Int,
@@ -232,14 +244,14 @@ object OracleSqlTransE {
       val negKeyMax = epochs.toLong * Cfg.negRate - 1
       sb ++= s"""
 , ${t("negsrc")} AS (
-  SELECT t.h, t.t, t.r, t.idx, e.ep, j.j
-  FROM ${sh("trip")} t
+  SELECT t.h, t.t, t.r, t.pfh, e.ep, j.j
+  FROM ${sh("tripf")} t
   CROSS JOIN range(0, $epochs) e(ep)
   CROSS JOIN range(0, ${Cfg.negRate}) j(j)
 )"""
       sb ++= OracleSql.fnvMixChainW(tag + "n", t("negsrc"),
-        "idx::HUGEINT", s"(ep * ${Cfg.negRate} + j)::HUGEINT",
-        7, bytesFor(negKeyMax max 1))
+        s"(ep * ${Cfg.negRate} + j)::HUGEINT", "",
+        bytesFor(negKeyMax max 1), -1, init = Some("pfh"))
       sb ++= s"""
 , ${sh("negs")} AS MATERIALIZED (
   SELECT h, t, r, ep, tn FROM (
@@ -273,8 +285,10 @@ object OracleSqlTransE {
       // one winner CTE per stage: rn from the chain, validity by
       // rejection rules, min-attempt row kept
       def stage(st: String, srcCte: String): Unit = {
+        // idx prefix pre-folded per triple (see tripleCtes): only the
+        // 8 yk bytes fold per expanded attempt row
         sb ++= OracleSql.fnvMixChainW(tag + "rn" + st, srcCte,
-          "idx::HUGEINT", "yk", 7, 8)
+          "yk", "", 8, -1, init = Some("pfh"))
         sb ++= s"""
 , ${t("rwin" + st)} AS MATERIALIZED (
   SELECT h, t, r, idx, ep, jr, rn FROM (
@@ -296,20 +310,20 @@ object OracleSqlTransE {
       }
       sb ++= s"""
 , ${t("rkeys")} AS (
-  SELECT t.h, t.t, t.r, t.idx, e.ep, jr.jr
-  FROM ${sh("trip")} t
+  SELECT t.h, t.t, t.r, t.idx, t.pfh, e.ep, jr.jr
+  FROM ${sh("tripf")} t
   CROSS JOIN range(0, $epochs) e(ep)
   CROSS JOIN range(0, $negRelRate) jr(jr)
 )
 , ${t("rnegsrcA")} AS (
-  SELECT k.h, k.t, k.r, k.idx, k.ep, k.jr, a.att,
+  SELECT k.h, k.t, k.r, k.idx, k.pfh, k.ep, k.jr, a.att,
     ${yk("a.att")}
   FROM ${t("rkeys")} k CROSS JOIN range(0, $RelStageA) a(att)
 )"""
       stage("A", t("rnegsrcA"))
       sb ++= s"""
 , ${t("rnegsrcB")} AS (
-  SELECT k.h, k.t, k.r, k.idx, k.ep, k.jr, a.att,
+  SELECT k.h, k.t, k.r, k.idx, k.pfh, k.ep, k.jr, a.att,
     ${yk("a.att")}
   FROM ${t("rkeys")} k
   CROSS JOIN range($RelStageA, 16) a(att)
