@@ -31,12 +31,20 @@ object EntryStages {
                          (f: => DataFrame): DataFrame =
     cached(spark, sfDir, name)(f)
 
+  /** Once-only cell: TrieMap.getOrElseUpdate may evaluate its default
+    * more than once under a race (it computes, then putIfAbsent); the
+    * verify harness submits queries from a thread pool, and a raced
+    * duplicate here would re-run a multi-second training fit (and leak
+    * a persisted duplicate DataFrame). The map stores the cheap cell;
+    * the lazy val inside guarantees one evaluation. */
+  private final class Once[T](f: () => T) { lazy val value: T = f() }
+
   private val dfCache =
-    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String, String), Once[DataFrame]]()
   private val thetaCache =
     scala.collection.concurrent.TrieMap[(String, String, String), Double]()
   private val modelCache =
-    scala.collection.concurrent.TrieMap[(String, String, String), AnyRef]()
+    scala.collection.concurrent.TrieMap[(String, String, String), Once[AnyRef]]()
   private val evictionHooked =
     scala.collection.concurrent.TrieMap[String, Unit]()
 
@@ -68,7 +76,8 @@ object EntryStages {
 
   private def cached(spark: SparkSession, sfDir: String, name: String)
                     (f: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate((withEviction(spark), sfDir, name), f.persist())
+    dfCache.getOrElseUpdate((withEviction(spark), sfDir, name),
+      new Once(() => f.persist())).value
 
   /**
    * Train-once memo for model objects (the reference freezes and
@@ -79,8 +88,8 @@ object EntryStages {
    */
   private[graft] def memoModel[T <: AnyRef](spark: SparkSession, sfDir: String,
                                             name: String)(f: => T): T =
-    modelCache.getOrElseUpdate((withEviction(spark), sfDir, name), f)
-      .asInstanceOf[T]
+    modelCache.getOrElseUpdate((withEviction(spark), sfDir, name),
+      new Once[AnyRef](() => f)).value.asInstanceOf[T]
 
   def records(spark: SparkSession, sfDir: String): DataFrame =
     Synth.records(spark, sfDir)

@@ -181,6 +181,14 @@ object SparkEntry {
     // WERL's learned-combination tier over the BATCH fit — the whole
     // chain (embeddings + GD + swept theta) is distributed + replayable
     "werl_batch_weights" -> ((s, d) => ml.Weights.werlBatchWeights(s, d)),
+    // the reference's WERL hyperparameter sweep on its epochs axis
+    // (/root/reference/tests/test_werl.py:223-260): each combo the
+    // full batch tier at that many embedding-training epochs
+    "grid_werl" -> ((s, d) =>
+      eval.GridSearch.sweep(s,
+        eval.GridSearch.grid(
+          "epochs" -> ml.Weights.WerlGridEpochs.map(_.toDouble)),
+        p => ml.Weights.werlBatchEval(s, d, p("epochs").toInt))),
     "werl_batch_metrics" -> ((s, d) => ml.Weights.werlBatchMetrics(s, d)),
     // hyperparameter grid over RLTransE with per-combo IR metrics
     // (the reference's per-combination test loops,
@@ -296,6 +304,7 @@ object SparkEntry {
     "rltranse_batch_eval" -> oracle.OracleSqlRLTransEBatch.rltranseBatchEval,
     "rltranse_batch_fields" -> oracle.OracleSqlRLTransEBatch.rltranseBatchFields,
     "werl_batch_weights" -> oracle.OracleSqlRLTransEBatch.werlBatchWeights,
+    "grid_werl" -> oracle.OracleSqlRLTransEBatch.gridWerl,
     "werl_batch_metrics" -> oracle.OracleSqlRLTransEBatch.werlBatchMetrics,
     "embed_logistic_metrics" -> oracle.OracleSqlTransE.embedLogisticMetrics,
     "embed_logistic_weights" -> oracle.OracleSqlTransE.embedLogisticWeights,

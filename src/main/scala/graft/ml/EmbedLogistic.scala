@@ -55,13 +55,28 @@ object EmbedLogistic {
     * eigenvalue is ~0.25*(sum_i x_i)^2/row ~ 3 — full-batch GD needs
     * lr < 2/3 to converge (lr=1.0 oscillates and lands on a
     * degenerate all-negative fit). */
-  final case class Config(dim: Int = 16, epochs: Int = 8,
+  // epochs = 5: the joint-KG TransH features keep the tier's quality
+  // band; the embed_logistic_features anchor replay prices each epoch
+  final case class Config(dim: Int = 16, epochs: Int = 5,
                           gaussScale: Double = 0.5,
                           iters: Int = 60, lr: Double = 0.3,
                           reg: Double = 0.001)
 
   private def microQ(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
   private def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+  // Accepted residual risk (ADVICE r4): the GD sigmoid below — and
+  // dist = 1 - sigmoid(logit) in Weights.veerDist / the wbsc/vsc CTEs
+  // — feeds RAW math.exp output into microQ and the ceil(dist*50)
+  // threshold buckets; a 1-ulp JVM-vs-DuckDB-libm exp divergence
+  // landing exactly on a 1e-6 micro-unit or bucket boundary would fail
+  // the oracle LOUDLY (hash diff), never silently. We keep it
+  // unquantized deliberately: both engines have agreed bit-for-bit on
+  // every exp input exercised across four rounds at sf0.001-0.1, and a
+  // KrEar.tanhQ-style pre-quantization of exp's INPUT would not remove
+  // the risk (exp of a quantized input still differs in the last ulp
+  // between libms) — only a full softfloat exp would, at real
+  // hot-path cost. If a diff ever lands on this, the fix is to
+  // quantize the SIGMOID OUTPUT (1e-12 grid) in both engines.
 
   /** Per-pair per-dimension micro-quantized gauss features over
     * joint-KG TransH record embeddings:

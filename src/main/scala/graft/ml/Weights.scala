@@ -201,18 +201,31 @@ object Weights {
   final val WerlBatchIters = 100
   final val WerlBatchReg = 0.001
 
-  /** Micro-quantized per-field channels of the BATCH RLTransE fit —
-    * the batch fit's channel values are engine-bit-identical (the
-    * trainer replays in SQL), so the 1e-6 grid here just keeps the GD
-    * inputs on the same quantization discipline as VEER. */
-  private def werlBatchFeatDf(spark: SparkSession, sfDir: String): DataFrame =
-    EntryStages.memo(spark, sfDir, "werl_batch_feats") {
-      val model = RLTransE.trainBatch(spark, sfDir)
+  /** Micro-quantized per-field channels of the BATCH RLTransE fit at
+    * `epochs` — the batch fit's channel values are engine-bit-identical
+    * (the trainer replays in SQL), so the 1e-6 grid here just keeps the
+    * GD inputs on the same quantization discipline as VEER. */
+  private def werlBatchFeatDf(spark: SparkSession, sfDir: String,
+                              epochs: Int = RLTransE.BatchCfg.epochs): DataFrame =
+    EntryStages.memo(spark, sfDir, s"werl_batch_feats:$epochs") {
+      val model = RLTransE.trainBatch(spark, sfDir,
+        RLTransE.BatchCfg.copy(epochs = epochs))
       RLTransE.fieldScores(spark, sfDir, model, testOnly = false)
         .select(Seq(col("idA"), col("idB"), col("label"),
           col("split_a"), col("split_b"),
           array(WerlFeatures.map(f =>
             floor(col(f) * 1e6 + lit(0.5)) / 1e6): _*).as("feat")): _*)
+    }
+
+  /** The batch tier's balanced-GD fit over the frozen `epochs`-fit
+    * channels — one fit per grid cell, shared with the default-tier
+    * werl_batch_* queries. */
+  private def werlBatchFit(spark: SparkSession, sfDir: String,
+                           epochs: Int): EmbedLogistic.Fit =
+    EntryStages.memoModel(spark, sfDir, s"werl_batch_fit:$epochs") {
+      EmbedLogistic.fitBalancedOn(werlBatchFeatDf(spark, sfDir, epochs),
+        EmbedLogistic.Config(dim = WerlFeatures.length,
+          iters = WerlBatchIters, lr = WerlBatchLr, reg = WerlBatchReg))
     }
 
   /** WERL batch tier: deterministic balanced GD over the frozen batch
@@ -223,9 +236,7 @@ object Weights {
       (DataFrame, DataFrame) =
     EntryStages.memoModel(spark, sfDir, "werl_batch") {
       val feats = werlBatchFeatDf(spark, sfDir)
-      val fit = EmbedLogistic.fitBalancedOn(feats,
-        EmbedLogistic.Config(dim = WerlFeatures.length,
-          iters = WerlBatchIters, lr = WerlBatchLr, reg = WerlBatchReg))
+      val fit = werlBatchFit(spark, sfDir, RLTransE.BatchCfg.epochs)
       val dist = veerDist(fit)
       val theta = graft.pipe.Threshold.bestThetaTrainSplit(
         feats, dist, col("label"))
@@ -238,6 +249,34 @@ object Weights {
         java.util.Arrays.asList(rows: _*), metrics.schema)
       (weightRows(spark, WerlFeatures, fit.w, fit.b), local)
     }
+
+  /** grid_werl's epochs axis: half and full batch-fit training
+    * (/root/reference/tests/test_werl.py:223-260's epochs loop over
+    * the WERL train/test pipeline). */
+  final val WerlGridEpochs: Seq[Int] =
+    Seq(RLTransE.BatchCfg.epochs / 2, RLTransE.BatchCfg.epochs)
+
+  /** One grid_werl cell: the whole WERL batch tier (batch embedding
+    * fit at `epochs`, mq6 channels, balanced GD, train-swept theta) →
+    * F1/P/R + test-ranking MRR, the GridSearch.sweep row shape. */
+  def werlBatchEval(spark: SparkSession, sfDir: String,
+                    epochs: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val feats = werlBatchFeatDf(spark, sfDir, epochs)
+    val fit = werlBatchFit(spark, sfDir, epochs)
+    val dist = veerDist(fit)
+    val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+      feats, dist, col("label"))
+    val test = feats.filter(col("split_a") === "test" &&
+      col("split_b") === "test")
+    val pm = Metrics.pairMetrics(test, (dist <= lit(theta)).cast("int"),
+      col("label")).head()
+    val ir = Metrics.irMetrics(test, dist, col("label")).head()
+    Seq((pm.getAs[Double]("f1"), pm.getAs[Double]("precision"),
+      pm.getAs[Double]("recall"), ir.getAs[Double]("mrr")))
+      .toDF("f1", "precision", "recall", "mrr")
+  }
 
   def werlBatchWeights(spark: SparkSession, sfDir: String): DataFrame =
     werlBatchWeightsAndMetrics(spark, sfDir)._1

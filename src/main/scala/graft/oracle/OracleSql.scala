@@ -343,12 +343,21 @@ SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster FROM reach GROUP BY node"
   )
 ), tgb AS MATERIALIZED (
   SELECT id, bkt, CAST(count(*) AS DOUBLE) AS cnt FROM tgh GROUP BY id, bkt
+), pcw AS MATERIALIZED (
+  SELECT bkt,
+    ${(0 until graft.sim.Embed.DefaultDim)
+      .map(d => s"max(CASE WHEN j = $d THEN comp END) AS c$d")
+      .mkString(",\n    ")}
+  FROM pcomp GROUP BY bkt
 ), tgacc AS MATERIALIZED (
-  SELECT t.id, p.j, SUM(t.cnt * p.comp) AS av
-  FROM tgb t JOIN pcomp p ON p.bkt = t.bkt
-  GROUP BY t.id, p.j
+  SELECT t.id,
+    ${(0 until graft.sim.Embed.DefaultDim)
+      .map(d => s"SUM(t.cnt * p.c$d) AS a$d").mkString(",\n    ")}
+  FROM tgb t JOIN pcw p ON p.bkt = t.bkt
+  GROUP BY t.id
 ), tgvec AS MATERIALIZED (
-  SELECT id, list(av ORDER BY j) AS v FROM tgacc GROUP BY id
+  SELECT id, [${(0 until graft.sim.Embed.DefaultDim)
+      .map(d => s"a$d").mkString(", ")}] AS v FROM tgacc
 )"""
 
   val scoredPairsFull: String = q(tgvecCtes + """

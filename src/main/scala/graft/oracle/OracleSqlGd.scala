@@ -8,11 +8,15 @@ package graft.oracle
  * mix; nano-quantized L2-regularized steps) — parameterized by feature
  * count, source CTEs and hyperparameters, so replays over different
  * feature families (batch-RLTransE field channels, and future fits)
- * share one builder. Two earlier, byte-validated copies deliberately
- * stay inline rather than re-rendering through this builder:
- * OracleSqlVeer.gdCtes and the iteration loop in
- * OracleSqlTransE.elCtes — any change to the GD image must be applied
- * in all three places (they differ only in CTE names and literals).
+ * share one builder. OracleSqlVeer.gdCtes re-renders through this
+ * builder (byte-identical to its former inline copy — DumpOracle
+ * before/after diff). ONE earlier, byte-validated copy deliberately
+ * stays inline: the iteration loop in OracleSqlTransE.elCtes, whose
+ * CTE names (`el_g<k>`/`el_it<k>`, vs this builder's
+ * `<pfx>g<k>`/`<pfx><k>`) and line layout differ — re-rendering it
+ * would change the oracle's SQL bytes, invalidating the verified
+ * image and the VERIFY_BUDGET fingerprint for zero semantic gain.
+ * Any change to the GD image must be applied in both places.
  */
 private[oracle] object OracleSqlGd {
 

@@ -38,10 +38,6 @@ object OracleSqlVeer {
   private def q9(x: String): String =
     s"floor(($x) * 1000000000.0 + 0.5) / 1000000000.0"
 
-  /** floor(x*1e6 + 0.5) integer micro-units — EmbedLogistic's microQ. */
-  private def microQ(x: String): String =
-    s"CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT)"
-
   /** floor(x*1e6 + 0.5)/1e6 — the feature-grid quantizer
     * ([[graft.ml.Weights]] veerFeatDf). */
   private def mq6(x: String): String =
@@ -77,44 +73,13 @@ object OracleSqlVeer {
   /** GD chain `vit{reg-tag}0..{iters}`: one gradient + params CTE pair
     * per iteration, mirroring EmbedLogistic.fitBalancedOn literally
     * (z left-to-right then + b; per-class micro-unit sums; 0.5/np +
-    * 0.5/nn mix; nano-quantized L2-regularized step). */
+    * 0.5/nn mix; nano-quantized L2-regularized step). Rendered through
+    * the ONE shared builder (ADVICE r4 — byte-identical to the former
+    * inline copy, verified by a DumpOracle before/after diff). */
   private def gdCtes(sb: StringBuilder, pfx: String, reg: Double,
-                     iters: Int): Unit = {
-    sb ++= s"""
-, ${pfx}0 AS (SELECT ${csv(d => s"0.0::DOUBLE AS w$d")}, 0.0::DOUBLE AS b)"""
-    val z = chain(d => s"i.w$d * f.x$d")
-    for (k <- 0 until iters) {
-      sb ++= s"""
-, ${pfx}g$k AS MATERIALIZED (
-  SELECT
-    ${csv(d => s"CAST(SUM(CASE WHEN label = 1 THEN c$d ELSE 0 END) AS BIGINT) AS p$d")},
-    ${csv(d => s"CAST(SUM(CASE WHEN label = 0 THEN c$d ELSE 0 END) AS BIGINT) AS n$d")},
-    CAST(SUM(CASE WHEN label = 1 THEN cb ELSE 0 END) AS BIGINT) AS pb,
-    CAST(SUM(CASE WHEN label = 0 THEN cb ELSE 0 END) AS BIGINT) AS nb
-  FROM (
-    SELECT label,
-      ${csv(d => microQ(s"resid * x$d") + s" AS c$d")},
-      ${microQ("resid")} AS cb
-    FROM (
-      SELECT f.label, ${dims.map(d => s"f.x$d").mkString(", ")},
-        (1.0 / (1.0 + exp(-($z + i.b))) -
-         CASE WHEN f.label = 1 THEN 1.0 ELSE 0.0 END) AS resid
-      FROM vtrain f CROSS JOIN ${pfx}$k i
-    )
-  )
-)
-, ${pfx}${k + 1} AS MATERIALIZED (
-  SELECT
-    ${csv(d => q9(s"i.w$d - ${Weights.VeerLr}::DOUBLE * ((0.5::DOUBLE * " +
-        s"(g.p$d / 1000000.0) / nc.np + 0.5::DOUBLE * (g.n$d / 1000000.0) " +
-        s"/ nc.nn) + $reg::DOUBLE * i.w$d)") + s" AS w$d")},
-    ${q9(s"i.b - ${Weights.VeerLr}::DOUBLE * (0.5::DOUBLE * " +
-        s"(g.pb / 1000000.0) / nc.np + 0.5::DOUBLE * (g.nb / 1000000.0) " +
-        s"/ nc.nn)")} AS b
-  FROM ${pfx}$k i, ${pfx}g$k g, vnc nc
-)"""
-    }
-  }
+                     iters: Int): Unit =
+    OracleSqlGd.gdCtes(sb, pfx, D, "vtrain", "vnc",
+      Weights.VeerLr, reg, iters)
 
   /** Scoring tail under the params CTE `it`: dist = 1 - sigmoid(logit)
     * per pair, the robust 50-bucket train-split theta plateau

@@ -50,7 +50,9 @@ object KrEar {
    *        both rejecting corrupted triples that exist.
    */
   final case class Config(
-      dim: Int = 16, epochs: Int = 8, lr: Double = 0.1,
+      // epochs = 5: both encoders stay in their quality band (spec);
+      // the gate's replay budget prices each epoch twice (rel + attr)
+      dim: Int = 16, epochs: Int = 5, lr: Double = 0.1,
       margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
       negRelRate: Int = 0)
 

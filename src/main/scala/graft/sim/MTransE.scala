@@ -35,7 +35,9 @@ object MTransE {
    *        neg_rel_rate to both KGs' samplers).
    */
   final case class Config(
-      dim: Int = 16, epochs: Int = 8, lr: Double = 0.1,
+      // epochs = 5: the dual-KG + alignment tiers hold their band
+      // (spec) — each epoch is three hinge blocks in the DuckDB replay
+      dim: Int = 16, epochs: Int = 5, lr: Double = 0.1,
       margin: Double = 1.0, negRate: Int = 2, seed: Long = 42L,
       evolve: Boolean = false, negRelRate: Int = 0)
 

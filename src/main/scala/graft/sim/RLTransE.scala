@@ -148,9 +148,20 @@ object RLTransE {
                 cfg: TransE.Config = BatchCfg): DataFrame = {
     import spark.implicits._
     val model = trainBatch(spark, sfDir, cfg)
-    val fieldCols = ScoredRels.map(r => col(s"f_$r"))
+    // per-field distances on the mq6 grid (floor(x*1e6 + 0.5)/1e6) —
+    // the rltranse_batch_fields anchor's lattice, so the DuckDB twin
+    // can re-derive this whole summary from the VERIFIED anchor dump
+    // instead of replaying the ~40 s training chain a second time
+    // (same staging discipline as the werl_batch_* oracles); the sum
+    // below then adds identical doubles in identical ScoredRels order
+    // in both engines
+    val fieldCols = ScoredRels.map(r =>
+      (floor(col(s"f_$r") * 1e6 + lit(0.5)) / 1e6).as(s"f_$r"))
     val all = fieldScores(spark, sfDir, model, testOnly = false)
-      .withColumn("dist", fieldCols.reduce(_ + _))
+      .select(col("idA") +: col("idB") +: col("label") +:
+        col("split_a") +: col("split_b") +: fieldCols: _*)
+      .withColumn("dist",
+        ScoredRels.map(r => col(s"f_$r")).reduce(_ + _))
       .persist()
     val theta = graft.pipe.Threshold.bestThetaTrainSplit(
       all, col("dist"), col("label"))

@@ -55,6 +55,24 @@ class WeightsSpec extends AnyFunSuite {
     assert(w1.count() == ml.Weights.WerlFeatures.length + 1)
   }
 
+  test("grid_werl sweeps the batch-fit epochs axis: one row per combo, " +
+      "full-epochs cell matches the default tier") {
+    val rows = eval.GridSearch.sweep(spark,
+      eval.GridSearch.grid(
+        "epochs" -> ml.Weights.WerlGridEpochs.map(_.toDouble)),
+      p => ml.Weights.werlBatchEval(spark, sf, p("epochs").toInt))
+      .collect().sortBy(_.getAs[Double]("epochs"))
+    assert(rows.length == ml.Weights.WerlGridEpochs.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("f1") >= 0.5,
+        s"grid_werl f1 ${r.getAs[Double]("f1")} at epochs ${r.get(0)}")
+      assert(!r.getAs[Double]("mrr").isNaN)
+    }
+    // the E-epochs cell IS the default werl_batch tier
+    val (_, m) = ml.Weights.werlBatchWeightsAndMetrics(spark, sf)
+    assert(rows.last.getAs[Double]("f1") == m.head().getAs[Double]("f1"))
+  }
+
   test("logistic over dim-wide RLTransE difference vectors beats the " +
       "scalar-channel WERL band and is memoized") {
     val m1 = ml.Weights.logisticRlTransEMetrics(spark, sf)

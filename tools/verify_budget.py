@@ -45,10 +45,19 @@ def main():
         ['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
         cwd=REPO, capture_output=True, text=True, timeout=3600)
     spark_secs = time.time() - t0
-    fails = [ln for ln in r.stderr.splitlines() if 'failed:' in ln]
-    if r.returncode != 0 or fails:
+    # a parallel-phase failure that the sequential retry pass later
+    # dumped successfully is fine — only queries whose LAST event is a
+    # failure are fatal
+    state = {}
+    for ln in r.stderr.splitlines():
+        if ln.startswith('[verify] ') and ' failed: ' in ln:
+            state[ln.split()[1]] = ln
+        elif ln.startswith('[verify] ') and ' ok in ' in ln:
+            state.pop(ln.split()[1], None)
+    if r.returncode != 0 or state:
         print(r.stdout[-3000:], r.stderr[-3000:])
-        sys.exit(f'Verify dump failed (exit {r.returncode}): {fails[:5]}')
+        sys.exit(f'Verify dump failed (exit {r.returncode}): '
+                 f'{list(state.values())[:5]}')
 
     import duckdb
     con = duckdb.connect()
