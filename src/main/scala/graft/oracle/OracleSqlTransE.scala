@@ -676,13 +676,26 @@ FROM ${t("conf")}"""
       (d, di) <- TransE.GridDims.zipWithIndex
       (nrr, ni) <- TransE.GridNegRel.zipWithIndex
     } yield {
-      val rp = new Replay(d, nrr, s"g$di$ni", sharedTag = Some("gs"))
-      rp.trainCtes(sb, transH = false, NRel, Cfg.epochs, erTripleSelect,
-        includeBase = false)
-      sb ++= rp.recentCte
-      sb ++= rp.tjCte(s"g${di}${ni}_e${Cfg.epochs}")
-      sb ++= rp.tailCtes
-      rp.gridSelect
+      if (d == Cfg.dim && nrr == 0) {
+        // this combo IS the default registered config whose whole
+        // training run transe_eval bit-verifies from first principles
+        // (same dim/epochs/seed/draw streams -> same model -> same
+        // metrics row, equality previously re-proven by the inline
+        // replay): stage the cell on that verified dump instead of
+        // unrolling the most expensive (widest-dim) chain twice per
+        // gate run (~19 s, VERIFY_BUDGET.json)
+        s"""SELECT CAST($d AS DOUBLE) AS dim,
+  CAST($nrr AS DOUBLE) AS neg_rel_rate, f1, precision, recall, mrr
+FROM read_parquet('${OracleSql.OutDirToken}/transe_eval/*.parquet')"""
+      } else {
+        val rp = new Replay(d, nrr, s"g$di$ni", sharedTag = Some("gs"))
+        rp.trainCtes(sb, transH = false, NRel, Cfg.epochs, erTripleSelect,
+          includeBase = false)
+        sb ++= rp.recentCte
+        sb ++= rp.tjCte(s"g${di}${ni}_e${Cfg.epochs}")
+        sb ++= rp.tailCtes
+        rp.gridSelect
+      }
     }
     sb ++= "\n" + selects.mkString("\nUNION ALL\n")
     OracleSql.q(sb.toString)

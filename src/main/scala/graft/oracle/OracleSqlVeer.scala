@@ -207,14 +207,38 @@ FROM vconf_vwf"""
 
   /** grid_veer: reg x max_iter combos, one row each, sharing one GD
     * chain per reg (the 25-iteration cell reads the 100-chain's
-    * snapshot). */
+    * snapshot). The (VeerReg, VeerIters) cell IS the default fit that
+    * `veer_weights` bit-verifies from first principles, so that reg's
+    * chain is emitted only to the SHORTER iteration cells and the
+    * full-iteration params are read back from the verified nano dump
+    * (weight_nanos / 1e9 reconstructs the q9-lattice doubles exactly
+    * — the embed_logistic_metrics staging pattern; saved ~27 s/gate
+    * run, see VERIFY_BUDGET.json). */
   val gridVeer: String = {
     val regs = Weights.VeerGridRegs
     val itersCells = Weights.VeerGridIters
+    require(regs.contains(Weights.VeerReg) &&
+      itersCells.max == Weights.VeerIters &&
+      itersCells.exists(_ < Weights.VeerIters),
+      s"grid_veer stages its (VeerReg, VeerIters) cell on the " +
+        s"veer_weights dump — the grid no longer contains it: " +
+        s"regs=$regs iters=$itersCells")
     val sb = new StringBuilder(featCtes)
     val tags = regs.zipWithIndex.map { case (r, i) => (r, s"vg${i}_") }
     tags.foreach { case (r, pfx) =>
-      gdCtes(sb, pfx, r, itersCells.max)
+      val upTo = if (r == Weights.VeerReg)
+        itersCells.filter(_ < Weights.VeerIters).max
+      else itersCells.max
+      gdCtes(sb, pfx, r, upTo)
+      if (r == Weights.VeerReg) sb ++= s"""
+, $pfx${Weights.VeerIters} AS (
+  SELECT
+    ${dims.map(d =>
+      s"MAX(CASE WHEN feature = '${Weights.VeerFeatures(d)}' THEN " +
+      s"weight_nanos END) / 1e9 AS w$d").mkString(",\n    ")},
+    MAX(CASE WHEN feature = 'intercept' THEN weight_nanos END) / 1e9 AS b
+  FROM read_parquet('${OracleSql.OutDirToken}/veer_weights/*.parquet')
+)"""
     }
     val selects = for {
       (r, pfx) <- tags

@@ -39,7 +39,24 @@ def oracle_fingerprint(oracle):
     return h.hexdigest()
 
 
+def host_control_mops():
+    """Single-thread fixed-work LCG loop (~1-2 s) — a Spark-free probe
+    of the host grant, same idea as Bench's in-run hw_ceiling control.
+    The gate's wall-clock swings with the hypervisor grant on minute
+    scales (measured: identical oracle surface read 573.5 s in one
+    window and 666.7 s in the next); recording the control before and
+    after lets a red budget reading be attributed to the window
+    instead of the suite."""
+    n, x = 0, 1234567891011
+    t0 = time.perf_counter()
+    while n < 3_000_000:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        n += 1
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
 def main():
+    ctl_before = host_control_mops()
     t0 = time.time()
     r = subprocess.run(
         ['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
@@ -97,6 +114,8 @@ def main():
     duckdb_secs = time.time() - t1
 
     budget = {
+        'host_control_mops_before': ctl_before,
+        'host_control_mops_after': host_control_mops(),
         'sf': SF,
         'recorded_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
         'spark_dump_secs': round(spark_secs, 1),
