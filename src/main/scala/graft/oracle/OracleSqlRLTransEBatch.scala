@@ -284,13 +284,21 @@ FROM rb_conf""")
   /** The per-pair per-field micro distances of the batch fit — the
     * staged ANCHOR: full batch-training replay through `fwide`, each
     * field micro-quantized on the mq6 grid (floor(x*1e6 + 0.5), the
-    * same lattice the WERL channels use). */
-  val rltranseBatchFields: String = OracleSql.q(coreCtes + s"""
-SELECT idA, idB, label, split_a, split_b,
+    * same lattice the WERL channels use). ALSO exports the
+    * half-epochs readout (`f_<rel>_e${E/2}_micros`): te_e${E/2} is an
+    * intermediate matrix of the SAME chain, so verifying grid_werl's
+    * half-trained cell here costs one extra scoring pass instead of a
+    * second training replay. */
+  val rltranseBatchFields: String = OracleSql.q(
+    coreCtes + distCtes(E / 2, "_h") + s"""
+SELECT f.idA, f.idB, f.label, f.split_a, f.split_b,
   ${Scored.map(rel =>
-      s"CAST(floor(f_$rel * 1000000.0 + 0.5) AS BIGINT) AS f_${rel}_micros")
+      s"CAST(floor(f.f_$rel * 1000000.0 + 0.5) AS BIGINT) AS f_${rel}_micros")
+      .mkString(",\n  ")},
+  ${Scored.map(rel =>
+      s"CAST(floor(h.f_$rel * 1000000.0 + 0.5) AS BIGINT) AS f_${rel}_e${E / 2}_micros")
       .mkString(",\n  ")}
-FROM fwide""")
+FROM fwide f JOIN fwide_h h ON h.idA = f.idA AND h.idB = f.idB""")
 
   /** STAGED channel CTEs shared by the two werl_batch oracles: x_i =
     * the verified anchor's micro integers / 1e6 (exactly the mq6 value
@@ -421,15 +429,17 @@ CROSS JOIN (VALUES ${names.zipWithIndex
       s"grid_werl shares the one training chain: axis must be " +
         s"{E/2, E}, got ${WCfg.WerlGridEpochs}")
     val sb = new StringBuilder
-    sb ++= trainOnlyCtes(eHalf)
-    sb ++= pairCtes
-    sb ++= distCtes(eHalf, "_ga")
+    // the half-epochs cell's channels come from the ANCHOR's
+    // f_<rel>_e${E/2}_micros columns — the verified intermediate
+    // readout of the one training chain rltranse_batch_fields unrolls
+    // (micros / 1e6 IS the mq6 lattice value); this statement now
+    // re-derives only the two GD/scoring tails, no training
     sb ++= s"""
 , gwfa AS MATERIALIZED (
-  SELECT idA, idB, label, split_a, split_b,
+  SELECT idA, idB, CAST(label AS BIGINT) AS label, split_a, split_b,
     ${Scored.zipWithIndex.map { case (rel, i) =>
-        s"${OracleSqlGd.mq6(s"f_$rel")} AS x$i" }.mkString(",\n    ")}
-  FROM fwide_ga
+        s"f_${rel}_e${eHalf}_micros / 1000000.0 AS x$i" }.mkString(",\n    ")}
+  FROM read_parquet('${OracleSql.OutDirToken}/rltranse_batch_fields/*.parquet')
 )
 , gwtra AS MATERIALIZED (
   SELECT label, ${fdims.map(d => s"x$d").mkString(", ")} FROM gwfa

@@ -366,15 +366,31 @@ object RLTransE {
     * grid is exactly the mq6 lattice the WERL channels quantize on, so
     * the DuckDB replay compares these BIGINTs exactly and downstream
     * oracles reconstruct the channels as `micros / 1e6`. */
+  /** The staged-oracle anchor: per-pair per-field micro distances of
+    * the full batch fit AND of the half-epochs fit (grid_werl's other
+    * sweep cell). Exporting both from ONE query lets the DuckDB twin
+    * verify the half-trained model as an intermediate readout of the
+    * same training chain it already unrolls for the full fit, instead
+    * of replaying the chain a second time (~35 s/gate run). The
+    * half-epochs model is the SAME memoized fit grid_werl's Scala
+    * side scores through ([[graft.ml.Weights.werlBatchEval]]). */
   def batchPairFields(spark: SparkSession, sfDir: String,
                       cfg: TransE.Config = BatchCfg): DataFrame = {
     val model = trainBatch(spark, sfDir, cfg)
-    fieldScores(spark, sfDir, model, testOnly = false)
+    val half = cfg.copy(epochs = cfg.epochs / 2)
+    val mHalf = trainBatch(spark, sfDir, half)
+    val full = fieldScores(spark, sfDir, model, testOnly = false)
       .select(Seq(col("idA"), col("idB"), col("label"),
         col("split_a"), col("split_b")) ++
         ScoredRels.map(r =>
           floor(col(s"f_$r") * 1e6 + lit(0.5)).cast("long")
             .as(s"f_${r}_micros")): _*)
+    val halfDf = fieldScores(spark, sfDir, mHalf, testOnly = false)
+      .select(Seq(col("idA"), col("idB")) ++
+        ScoredRels.map(r =>
+          floor(col(s"f_$r") * 1e6 + lit(0.5)).cast("long")
+            .as(s"f_${r}_e${half.epochs}_micros")): _*)
+    full.join(halfDf, Seq("idA", "idB"))
   }
 
   def fieldScores(spark: SparkSession, sfDir: String, model: Model,
