@@ -78,6 +78,27 @@ class PlanSpec extends AnyFunSuite {
       s"literal hot-key list inlined into the plan:\n$plan")
   }
 
+  test("HTransE composite joins on pair/block keys; never a cartesian") {
+    // The per-pair composite = pair scores + block assignment cost +
+    // optimal-cell membership, all joined on (block_key[, idA, idB]).
+    // At 100 TB the failure mode would be a nested-loop/cartesian
+    // between the pair set and the solver output, or a broadcast of
+    // the data-sized cells side — lock in that neither happens (the
+    // one-row-per-block cost table is the only permitted broadcast).
+    val plan = executed(sim.HTransE.pairScores(spark, sf, maxSide = 25)
+      .filter(col("split_a") === "test"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-keyed join in the HTransE composite:\n$plan")
+    // every broadcast must be an EQUI-join on an id/block key (those
+    // are stats-estimated and revert to shuffle joins at scale; a
+    // non-keyed broadcast would stay quadratic at any size)
+    plan.linesIterator.filter(_.contains("BroadcastHashJoin")).foreach { l =>
+      assert(l.contains("block_key") || l.contains("idA") ||
+        l.contains("idB"), s"broadcast not keyed on pair/block keys:\n$l")
+    }
+  }
+
   test("LSH cross-table dedup exchanges bare id pairs, not embeddings") {
     // A colliding pair appears in up to `tables` buckets; the distinct
     // that dedups them must shuffle TWO LONG COLUMNS, never the two
