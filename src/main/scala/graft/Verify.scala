@@ -42,9 +42,10 @@ object Verify {
     val heavyFirst = Seq(
       "grid_rltranse", "seea_pairs", "werl_batch_weights", "ir_metrics",
       "grid_transe", "werl_weights", "etranse_eval", "rltranse_batch_fields",
+      "logistic_rltranse_batch_feats", "logistic_rltranse_batch_weights",
       "mtranse_eval", "embed_logistic_weights", "embed_logistic_features",
       "krear_eval", "grid_veer", "scored_pairs_full",
-      "logistic_rltranse_metrics", "ckpt_lineage").zipWithIndex.toMap
+      "ckpt_lineage").zipWithIndex.toMap
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => heavyFirst.getOrElse(name, Int.MaxValue) }

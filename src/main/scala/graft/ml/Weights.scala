@@ -374,4 +374,103 @@ object Weights {
       feats.unpersist()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
     }
+
+  // --- LogisticRLTransE over the BATCH fit: the dim-wide tier with
+  // every stage distributed AND SQL-replayable. The sequential
+  // logisticRlTransEMetrics above is bound to the order-dependent
+  // flagship fit (rows-only by design); this twin trains the SAME
+  // offset tables through the distributed batch trainer and fits the
+  // deterministic balanced GD instead of MLlib, so the whole tier is
+  // replayed bit-exactly by [[graft.oracle.OracleSqlRLTransEBatch]]. ---
+
+  /** GD hyperparameters for the dim-wide batch tier. Each feature is
+    * one dimension of a difference of L2-normalized dim-16 rows
+    * translated by a normalized relation row — |x_i| <= 3 worst case,
+    * ~0.3 typical — so 0.25 converges comfortably in practice (the
+    * fit is deterministic and SQL-replayed regardless of step size;
+    * quality is pinned by the F1 band in WeightsSpec). Iteration
+    * count is A FIFTH of WERL's 100: each oracle-side GD iteration is
+    * a 97-sum aggregate whose DuckDB planning cost scales with the
+    * unrolled expression count, and 20 already holds F1 = 1.0 at both
+    * gated SFs — more iterations would buy only verification
+    * wall-time, not quality. */
+  final val LogRltBatchLr = 0.25
+  final val LogRltBatchIters = 20
+  final val LogRltBatchReg = 0.001
+
+  /** dim x |ScoredRels| — the flattened feature width (field-major:
+    * feature f*dim + d is dimension d of field ScoredRels(f), the
+    * layout of [[graft.sim.RLTransE.fieldDiffFeatures]]). */
+  final val LogRltBatchDim: Int =
+    RLTransE.ScoredRels.length * RLTransE.BatchCfg.dim
+
+  final val LogRltBatchFeatures: Seq[String] =
+    (0 until LogRltBatchDim).map(i => s"x$i")
+
+  /** mq6-quantized dim-wide per-field translated difference vectors of
+    * the BATCH RLTransE fit ((val_a + rel) - val_b per dimension, zero
+    * block on equal values, 1.0 fill on missing vocab) — the
+    * LogisticRLTransE feature set (reference
+    * tests/test_logistic_rl_transe.py) over the distributed trainer.
+    * The 1e-6 grid keeps the GD inputs on the same quantization
+    * discipline as VEER/WERL-batch and makes the anchor dump's micro
+    * integers exactly invertible. */
+  private def logRltBatchFeatDf(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    EntryStages.memo(spark, sfDir, "logrlt_batch_feats") {
+      val model = RLTransE.trainBatch(spark, sfDir, RLTransE.BatchCfg)
+      RLTransE.fieldDiffFeatures(spark, sfDir, model)
+        .withColumn("feat", transform(col("features"),
+          x => floor(x * lit(1e6) + lit(0.5)) / lit(1e6)))
+        .drop("features")
+    }
+
+  /** The anchor dump the logistic_rltranse_batch_* oracles stage on:
+    * per-pair exact micro-integer features (BIGINT lattice points —
+    * micros / 1e6 reconstructs the identical doubles both engines
+    * feed the GD). */
+  def logRltBatchFeats(spark: SparkSession, sfDir: String): DataFrame =
+    logRltBatchFeatDf(spark, sfDir).select(
+      Seq(col("idA"), col("idB"), col("label"),
+        col("split_a"), col("split_b")) ++
+        (0 until LogRltBatchDim).map(i =>
+          floor(element_at(col("feat"), i + 1) * lit(1e6) + lit(0.5))
+            .cast("long").as(s"x${i}_micros")): _*)
+
+  private def logRltBatchFit(spark: SparkSession,
+                             sfDir: String): EmbedLogistic.Fit =
+    EntryStages.memoModel(spark, sfDir, "logrlt_batch_fit") {
+      EmbedLogistic.fitBalancedOn(logRltBatchFeatDf(spark, sfDir),
+        EmbedLogistic.Config(dim = LogRltBatchDim,
+          iters = LogRltBatchIters, lr = LogRltBatchLr,
+          reg = LogRltBatchReg))
+    }
+
+  /** LogisticRLTransE batch tier: nano-exact weights + test metrics
+    * (train-swept theta over dist = 1 - sigmoid(logit)) — the
+    * werl_batch shape over the dim-wide features, one memoized fit
+    * serving both registered queries. */
+  def logRltBatchWeightsAndMetrics(spark: SparkSession, sfDir: String):
+      (DataFrame, DataFrame) =
+    EntryStages.memoModel(spark, sfDir, "logrlt_batch") {
+      val feats = logRltBatchFeatDf(spark, sfDir)
+      val fit = logRltBatchFit(spark, sfDir)
+      val dist = veerDist(fit)
+      val theta = graft.pipe.Threshold.bestThetaTrainSplit(
+        feats, dist, col("label"))
+      val test = feats.filter(col("split_a") === "test" &&
+        col("split_b") === "test")
+      val metrics = Metrics.pairMetrics(test,
+        (dist <= lit(theta)).cast("int"), col("label"))
+      val rows = metrics.collect()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), metrics.schema)
+      (weightRows(spark, LogRltBatchFeatures, fit.w, fit.b), local)
+    }
+
+  def logRltBatchWeights(spark: SparkSession, sfDir: String): DataFrame =
+    logRltBatchWeightsAndMetrics(spark, sfDir)._1
+
+  def logRltBatchMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    logRltBatchWeightsAndMetrics(spark, sfDir)._2
 }

@@ -535,4 +535,173 @@ CROSS JOIN (VALUES ${names.zipWithIndex
     sb ++= "\n" + rows.mkString("\nUNION ALL\n")
     OracleSql.q(sb.toString)
   }
+
+  // --- LogisticRLTransE over the batch fit: balanced GD on the
+  // dim-wide per-field translated DIFFERENCE vectors (the reference's
+  // tests/test_logistic_rl_transe.py tier re-expressed over the
+  // distributed batch trainer so every stage is SQL-replayable; the
+  // sequential-fit variant stays in ml.Weights under its spec test,
+  // off the driver surface) ---
+
+  private val nLF = WCfg.LogRltBatchDim
+  // drift guard: the pivot below lays features out field-major over
+  // ScoredRels x dim — the Scala fieldDiffFeatures layout
+  require(nLF == Scored.length * R.D,
+    s"LogRltBatchDim ($nLF) diverged from ScoredRels x dim " +
+      s"(${Scored.length} x ${R.D})")
+
+  /** Dim-wide diff features of the epoch-`ep` batch model, long form
+    * (pair x field) then pivoted to x0..x{nLF-1} micro integers.
+    * Mirrors [[graft.sim.RLTransE.fieldDiffFeatures]] exactly:
+    * ((ea + er) - eb) per dimension in DOUBLE left to right, zero
+    * block on va = vb, 1.0 fill when either value misses the train
+    * vocabulary; then the mq6 floor both engines share. */
+  private def diffFeatCtes(ep: Int): String = {
+    val pivots = Scored.zipWithIndex.flatMap { case (rel, f) =>
+      dims.map(d =>
+        s"MAX(CASE WHEN rid = ${Rels.indexOf(rel)} THEN m$d END) " +
+          s"AS x${f * R.D + d}_micros")
+    }.mkString(",\n    ")
+    s"""
+, ldf AS MATERIALIZED (
+  SELECT idA, idB, label, split_a, split_b, rid,
+    ${csv(d => s"CASE WHEN va = vb THEN CAST(0 AS BIGINT) " +
+        s"WHEN iav IS NULL OR ibv IS NULL THEN CAST(1000000 AS BIGINT) " +
+        s"ELSE CAST(floor(((ea$d + er$d) - eb$d) * 1000000.0 + 0.5) " +
+        s"AS BIGINT) END AS m$d")}
+  FROM (
+    SELECT p.idA, p.idB, p.label, p.split_a, p.split_b, p.rid, p.va, p.vb,
+      ia.vidx AS iav, ib.vidx AS ibv,
+      ${csv(d => s"ea.e$d::DOUBLE AS ea$d")},
+      ${csv(d => s"rr.r$d::DOUBLE AS er$d")},
+      ${csv(d => s"eb.e$d::DOUBLE AS eb$d")}
+    FROM fpair p
+    LEFT JOIN voc ia ON ia.r = p.rid AND ia.value = p.va
+    LEFT JOIN voc ib ON ib.r = p.rid AND ib.value = p.vb
+    CROSS JOIN vmax mv
+    LEFT JOIN te_e$ep ea ON ea.ent_id = p.rid * mv.mv + ia.vidx
+    LEFT JOIN te_e$ep eb ON eb.ent_id = p.rid * mv.mv + ib.vidx
+    LEFT JOIN te_r$ep rr ON rr.rid = p.rid
+  )
+)
+, lfw AS MATERIALIZED (
+  SELECT idA, idB, label, split_a, split_b,
+    $pivots
+  FROM ldf GROUP BY idA, idB, label, split_a, split_b
+)"""
+  }
+
+  /** logistic_rltranse_batch_feats — the tier's ANCHOR: full
+    * first-principles replay (training chain + diff features), exact
+    * micro integers per pair x flattened dimension. The weights /
+    * metrics oracles stage on this dump. */
+  val logisticRlTransEBatchFeats: String = OracleSql.q(
+    trainOnlyCtes(E) + pairCtes + diffFeatCtes(E) + s"""
+SELECT idA, idB, label, split_a, split_b,
+  ${(0 until nLF).map(i => s"x${i}_micros").mkString(", ")}
+FROM lfw""")
+
+  /** STAGED feature CTEs shared by the two downstream oracles: x_i =
+    * the verified anchor's micro integers / 1e6 (exactly the mq6
+    * doubles the Scala GD consumes). Leaves `lbf` / `lbtrain` /
+    * `lbnc`. */
+  private def logRltChannelCtes(sb: StringBuilder): Unit = {
+    sb ++= s"""
+, lbf AS MATERIALIZED (
+  SELECT idA, idB, CAST(label AS BIGINT) AS label, split_a, split_b,
+    ${(0 until nLF).map(i =>
+        s"x${i}_micros / 1000000.0 AS x$i").mkString(",\n    ")}
+  FROM read_parquet('${OracleSql.OutDirToken}/logistic_rltranse_batch_feats/*.parquet')
+)
+, lbtrain AS MATERIALIZED (
+  SELECT label, ${(0 until nLF).map(d => s"x$d").mkString(", ")} FROM lbf
+  WHERE split_a = 'train' AND split_b = 'train'
+)
+, lbnc AS (SELECT CAST(SUM(label) AS BIGINT) AS np,
+    CAST(SUM(1 - label) AS BIGINT) AS nn FROM lbtrain)"""
+  }
+
+  /** logistic_rltranse_batch_weights: (feature, weight_nanos) rows —
+    * STAGED channels from the verified feats anchor; the balanced-GD
+    * chain is replayed in full here (this query IS the fit's
+    * oracle). */
+  val logisticRlTransEBatchWeights: String = {
+    val sb = new StringBuilder
+    logRltChannelCtes(sb)
+    OracleSqlGd.gdCtes(sb, "lbit", nLF, "lbtrain", "lbnc",
+      WCfg.LogRltBatchLr, WCfg.LogRltBatchReg, WCfg.LogRltBatchIters)
+    val names = WCfg.LogRltBatchFeatures :+ "intercept"
+    val pick = (0 until nLF).map(d => s"WHEN $d THEN i.w$d").mkString(" ")
+    sb ++= s"""
+SELECT f.feature,
+  CAST(floor((CASE f.d $pick ELSE i.b END) * 1e9 + 0.5) AS BIGINT)
+    AS weight_nanos
+FROM lbit${WCfg.LogRltBatchIters} i
+CROSS JOIN (VALUES ${names.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")}) f(d, feature)"""
+    OracleSql.q(sb.toString)
+  }
+
+  /** logistic_rltranse_batch_metrics: dist = 1 - sigmoid(logit),
+    * train-swept theta plateau, test confusion — STAGED twice over
+    * (channels from the feats anchor, GD weights reconstructed from
+    * the verified nano dump), so this row re-derives only scoring +
+    * sweep + confusion. */
+  val logisticRlTransEBatchMetrics: String = {
+    val sb = new StringBuilder
+    logRltChannelCtes(sb)
+    sb ++= s"""
+, lbwf AS (
+  SELECT
+    ${(0 until nLF).map(d =>
+        s"MAX(CASE WHEN feature = 'x$d' THEN weight_nanos END) / 1e9 " +
+          s"AS w$d").mkString(",\n    ")},
+    MAX(CASE WHEN feature = 'intercept' THEN weight_nanos END) / 1e9 AS b
+  FROM read_parquet('${OracleSql.OutDirToken}/logistic_rltranse_batch_weights/*.parquet')
+)"""
+    val zf = (0 until nLF).map(d => s"i.w$d * f.x$d").mkString(" + ")
+    sb ++= s"""
+, lbsc AS MATERIALIZED (
+  SELECT f.idA, f.idB, f.label, f.split_a, f.split_b,
+    1.0 - 1.0 / (1.0 + exp(-($zf + i.b))) AS dist
+  FROM lbf f CROSS JOIN lbwf i
+)
+, lbswb AS (
+  SELECT CAST(ceil(dist * 50) AS INT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
+  FROM lbsc WHERE split_a = 'train' AND split_b = 'train' GROUP BY 1
+)
+, lbsw AS (
+  SELECT bucket,
+    CASE WHEN tp = 0 THEN 0.0
+         ELSE tp * 2 / (tp * 2 + (cum_n - tp) + (total_pos - tp)) END AS f1
+  FROM (
+    SELECT bucket,
+      CAST(SUM(npos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+      CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
+    FROM lbswb
+  )
+)
+, lbfmax AS (SELECT max(f1) AS fm FROM lbsw)
+, lbblo AS (SELECT min(bucket) AS b FROM lbsw, lbfmax WHERE f1 = fm)
+, lbbhi AS (SELECT coalesce(min(bucket) - 1, (SELECT b FROM lbblo)) AS b
+    FROM lbsw, lbfmax, lbblo WHERE bucket > lbblo.b AND f1 < fm)
+, lbth AS (SELECT CAST(floor(((SELECT b FROM lbblo) + (SELECT b FROM lbbhi)) / 2.0) AS BIGINT) / 50.0 AS th)
+, lbconf AS (
+  SELECT
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM lbth) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN dist <= (SELECT th FROM lbth) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN dist >  (SELECT th FROM lbth) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN dist >  (SELECT th FROM lbth) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM lbsc WHERE split_a = 'test' AND split_b = 'test'
+)
+SELECT tp, fp, fn, tn,
+  CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+  CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+  CASE WHEN tp = 0 THEN 0.0 ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1,
+  (tp + tn) / (tp + fp + fn + tn) AS accuracy
+FROM lbconf"""
+    OracleSql.q(sb.toString)
+  }
 }

