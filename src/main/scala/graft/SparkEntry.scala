@@ -178,6 +178,12 @@ object SparkEntry {
     // TransE.train with per-relation tail ranges: the RLTransE family's
     // scale path, and (unlike the sequential flagship) SQL-replayable
     "rltranse_batch_eval" -> ((s, d) => sim.RLTransE.evalBatch(s, d)),
+    // the trained batch model matrices themselves (full- and
+    // half-epochs readouts, raw Float32) — the family's ROOT anchor:
+    // its oracle replays the whole training chain first-principles
+    // and compares the floats bit-for-bit; the fields/feats oracles
+    // stage on this dump (one DuckDB training replay per gate run)
+    "rltranse_batch_model" -> ((s, d) => sim.RLTransE.batchModelDump(s, d)),
     // per-pair per-field micro distances of the batch fit — the staged
     // anchor the werl_batch_* oracles read instead of re-replaying the
     // whole batch training
@@ -317,6 +323,7 @@ object SparkEntry {
     "transh_eval" -> oracle.OracleSqlTransE.transhEval,
     "grid_transe" -> oracle.OracleSqlTransE.gridTranse,
     "rltranse_batch_eval" -> oracle.OracleSqlRLTransEBatch.rltranseBatchEval,
+    "rltranse_batch_model" -> oracle.OracleSqlRLTransEBatch.rltranseBatchModel,
     "rltranse_batch_fields" -> oracle.OracleSqlRLTransEBatch.rltranseBatchFields,
     "werl_batch_weights" -> oracle.OracleSqlRLTransEBatch.werlBatchWeights,
     "grid_werl" -> oracle.OracleSqlRLTransEBatch.gridWerl,

@@ -41,7 +41,8 @@ object Verify {
     // Longest-known-first keeps the tail short.
     val heavyFirst = Seq(
       "grid_rltranse", "seea_pairs", "werl_batch_weights", "ir_metrics",
-      "grid_transe", "werl_weights", "etranse_eval", "rltranse_batch_fields",
+      "grid_transe", "werl_weights", "etranse_eval", "rltranse_batch_model",
+      "rltranse_batch_fields",
       "logistic_rltranse_batch_feats", "logistic_rltranse_batch_weights",
       "mtranse_eval", "embed_logistic_weights", "embed_logistic_features",
       "krear_eval", "grid_veer", "scored_pairs_full",

@@ -120,16 +120,67 @@ object OracleSqlRLTransEBatch {
     sb.toString
   }
 
-  /** Everything through `fwide` (per-pair per-field distances of the
-    * trained batch model) — shared by rltranse_batch_eval and the
-    * werl_batch_* oracles. */
-  private val coreCtes: String =
-    trainOnlyCtes(E) + pairCtes + distCtes(E, "")
+  /** rltranse_batch_model — the batch family's ROOT ANCHOR: the full
+    * training replay (FNV init, seeded per-relation draws, integer
+    * micro-unit gradients, float-rounded updates) read out as the RAW
+    * Float32 model matrices at the full- and half-epochs marks (the
+    * grid_werl epochs axis — te_e${E/2} is an intermediate matrix of
+    * the one chain). Every replay step is IEEE-correctly-rounded
+    * (+, -, *, /, sqrt; no transcendentals), so the compare is
+    * bit-exact on the raw floats — a STRONGER check than any
+    * quantized projection, and the dump the per-field / per-dimension
+    * feature oracles stage on (one training replay per gate run
+    * instead of one per consumer). */
+  val rltranseBatchModel: String = OracleSql.q(
+    trainOnlyCtes(E) + s"""
+SELECT 'ent' AS kind, CAST($E AS BIGINT) AS epochs, ent_id AS row_id,
+  ${csv(d => s"e$d AS f$d")}
+FROM te_e$E
+UNION ALL SELECT 'rel', CAST($E AS BIGINT), rid, ${csv(d => s"r$d")}
+FROM te_r$E
+UNION ALL SELECT 'ent', CAST(${E / 2} AS BIGINT), ent_id, ${csv(d => s"e$d")}
+FROM te_e${E / 2}
+UNION ALL SELECT 'rel', CAST(${E / 2} AS BIGINT), rid, ${csv(d => s"r$d")}
+FROM te_r${E / 2}""")
+
+  /** STAGED replacement for the training chain: the per-relation
+    * vocabulary re-derived first-principles (cheap — it is the index
+    * space the staged matrices are addressed by) and the epoch-`ep`
+    * matrices `te_e<ep>`/`te_r<ep>` read back from the verified
+    * [[rltranseBatchModel]] anchor dump (raw Float32 — parquet
+    * roundtrips them exactly, so downstream arithmetic sees the
+    * identical REAL values the full replay would produce). */
+  private def stagedModelCtes(sb: StringBuilder,
+                              epochsList: Seq[Int]): Unit = {
+    sb ++= OracleSql.vegCtes(
+      "dni_a = dni_b AND split_a = 'train' AND split_b = 'train'")
+    sb ++= s"""
+, voc AS MATERIALIZED (
+  SELECT r, value,
+    CAST(row_number() OVER (PARTITION BY r ORDER BY value) - 1 AS BIGINT) AS vidx
+  FROM (SELECT r, val_a AS value FROM vegt UNION SELECT r, val_b FROM vegt)
+)
+, vcnt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt FROM voc GROUP BY r)
+, vmax AS (SELECT MAX(cnt) AS mv FROM vcnt)"""
+    for (ep <- epochsList) {
+      sb ++= s"""
+, te_e$ep AS MATERIALIZED (
+  SELECT row_id AS ent_id, ${csv(d => s"f$d AS e$d")}
+  FROM read_parquet('${OracleSql.OutDirToken}/rltranse_batch_model/*.parquet')
+  WHERE kind = 'ent' AND epochs = $ep
+)
+, te_r$ep AS (
+  SELECT row_id AS rid, ${csv(d => s"f$d AS r$d")}
+  FROM read_parquet('${OracleSql.OutDirToken}/rltranse_batch_model/*.parquet')
+  WHERE kind = 'rel' AND epochs = $ep
+)"""
+    }
+  }
 
   /** Candidate-pair long form (pair x scored field) — epoch-independent,
     * emitted once even when several epoch readouts score it
-    * ([[gridWerl]]). Lazy: referenced from coreCtes' initializer, which
-    * runs first in declaration order. */
+    * ([[gridWerl]]). Lazy for declaration-order safety of the val
+    * initializers that embed it. */
   private lazy val pairCtes: String = {
     val aCols = Scored.map(r => s"${OracleSql.relValSql(r)} AS a_$r")
       .mkString(", ")
@@ -281,16 +332,21 @@ FROM rb_conf""")
   private def fcsv(f: Int => String) = fdims.map(f).mkString(",\n    ")
   private def fchain(f: Int => String) = fdims.map(f).mkString(" + ")
 
-  /** The per-pair per-field micro distances of the batch fit — the
-    * staged ANCHOR: full batch-training replay through `fwide`, each
+  /** The per-pair per-field micro distances of the batch fit — each
     * field micro-quantized on the mq6 grid (floor(x*1e6 + 0.5), the
-    * same lattice the WERL channels use). ALSO exports the
-    * half-epochs readout (`f_<rel>_e${E/2}_micros`): te_e${E/2} is an
-    * intermediate matrix of the SAME chain, so verifying grid_werl's
-    * half-trained cell here costs one extra scoring pass instead of a
-    * second training replay. */
-  val rltranseBatchFields: String = OracleSql.q(
-    coreCtes + distCtes(E / 2, "_h") + s"""
+    * same lattice the WERL channels use), at BOTH the full- and
+    * half-epochs readouts (`f_<rel>_e${E/2}_micros` serves grid_werl's
+    * half-trained cell). STAGED on the verified [[rltranseBatchModel]]
+    * anchor (which replays the whole training chain first-principles
+    * and compares the raw floats): this row re-derives only the
+    * per-field translated-cosine scoring from those exact matrices. */
+  val rltranseBatchFields: String = {
+    val sb = new StringBuilder
+    stagedModelCtes(sb, Seq(E, E / 2))
+    sb ++= pairCtes
+    sb ++= distCtes(E, "")
+    sb ++= distCtes(E / 2, "_h")
+    sb ++= s"""
 SELECT f.idA, f.idB, f.label, f.split_a, f.split_b,
   ${Scored.map(rel =>
       s"CAST(floor(f.f_$rel * 1000000.0 + 0.5) AS BIGINT) AS f_${rel}_micros")
@@ -298,7 +354,9 @@ SELECT f.idA, f.idB, f.label, f.split_a, f.split_b,
   ${Scored.map(rel =>
       s"CAST(floor(h.f_$rel * 1000000.0 + 0.5) AS BIGINT) AS f_${rel}_e${E / 2}_micros")
       .mkString(",\n  ")}
-FROM fwide f JOIN fwide_h h ON h.idA = f.idA AND h.idB = f.idB""")
+FROM fwide f JOIN fwide_h h ON h.idA = f.idA AND h.idB = f.idB"""
+    OracleSql.q(sb.toString)
+  }
 
   /** STAGED channel CTEs shared by the two werl_batch oracles: x_i =
     * the verified anchor's micro integers / 1e6 (exactly the mq6 value
@@ -591,15 +649,22 @@ CROSS JOIN (VALUES ${names.zipWithIndex
 )"""
   }
 
-  /** logistic_rltranse_batch_feats — the tier's ANCHOR: full
-    * first-principles replay (training chain + diff features), exact
-    * micro integers per pair x flattened dimension. The weights /
-    * metrics oracles stage on this dump. */
-  val logisticRlTransEBatchFeats: String = OracleSql.q(
-    trainOnlyCtes(E) + pairCtes + diffFeatCtes(E) + s"""
+  /** logistic_rltranse_batch_feats — the tier's feature anchor: exact
+    * micro integers per pair x flattened dimension, STAGED on the
+    * verified [[rltranseBatchModel]] root anchor (this row re-derives
+    * only the per-dimension translated differences from the exact
+    * matrices). The weights / metrics oracles stage on this dump. */
+  val logisticRlTransEBatchFeats: String = {
+    val sb = new StringBuilder
+    stagedModelCtes(sb, Seq(E))
+    sb ++= pairCtes
+    sb ++= diffFeatCtes(E)
+    sb ++= s"""
 SELECT idA, idB, label, split_a, split_b,
   ${(0 until nLF).map(i => s"x${i}_micros").mkString(", ")}
-FROM lfw""")
+FROM lfw"""
+    OracleSql.q(sb.toString)
+  }
 
   /** STAGED feature CTEs shared by the two downstream oracles: x_i =
     * the verified anchor's micro integers / 1e6 (exactly the mq6

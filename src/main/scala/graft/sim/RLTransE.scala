@@ -140,6 +140,45 @@ object RLTransE {
       Model(m.ent, m.rel, vocab, maxVal, m.lossByEpoch)
     }
 
+  /** The trained batch model MATRICES themselves, at the full- and
+    * half-epochs readouts (the grid_werl epochs axis), as raw Float32
+    * rows — the strongest possible anchor for the batch family: every
+    * arithmetic step of the replay (+, -, *, /, sqrt, signum over
+    * micro-integer gradients) is IEEE-correctly-rounded in both
+    * engines, so the DuckDB training chain reproduces these floats
+    * BIT-FOR-BIT with no quantization needed. Downstream oracles
+    * (rltranse_batch_fields, logistic_rltranse_batch_feats) stage on
+    * this dump instead of each re-replaying the training chain.
+    * Rows: ('ent', epochs, rid * maxValCount + vidx, f0..f{dim-1})
+    * for every vocabulary slot (slots past a relation's value count
+    * are initialized but never read — not part of the contract), plus
+    * ('rel', epochs, rid, ...) per relation. */
+  def batchModelDump(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dim = BatchCfg.dim
+    val rows = Seq(BatchCfg.epochs / 2, BatchCfg.epochs).flatMap { ep =>
+      val m = trainBatch(spark, sfDir, BatchCfg.copy(epochs = ep))
+      val ent = for {
+        rid <- m.vocab.indices
+        vidx <- m.vocab(rid).values.toSeq.sorted
+      } yield Row.fromSeq(
+        Seq("ent", ep.toLong, rid.toLong * m.maxValCount + vidx) ++
+          m.ent(rid * m.maxValCount + vidx).toSeq)
+      val rel = m.rel.indices.map(rid => Row.fromSeq(
+        Seq("rel", ep.toLong, rid.toLong) ++ m.rel(rid).toSeq))
+      ent ++ rel
+    }
+    val schema = StructType(
+      Seq(StructField("kind", StringType, nullable = false),
+        StructField("epochs", LongType, nullable = false),
+        StructField("row_id", LongType, nullable = false)) ++
+        (0 until dim).map(d =>
+          StructField(s"f$d", FloatType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Summary row for the batch variant — same shape as [[eval]], with
     * the mean st-field distance accumulated ORDER-FREE (per-pair
     * micro-quantized integers summed, then one exact division) so the

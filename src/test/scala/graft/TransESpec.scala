@@ -83,6 +83,37 @@ class TransESpec extends AnyFunSuite {
     assert(RLTransE.trainBatch(spark, sf) eq m1)
   }
 
+  test("batch model dump: both epoch readouts, unit rows, vocab-complete") {
+    val dump = RLTransE.batchModelDump(spark, sf)
+    val m = RLTransE.trainBatch(spark, sf)
+    val nVocab = m.vocab.map(_.size.toLong).sum
+    val nRel = graph.GraphBuild.Relations.size.toLong
+    val byKind = dump.groupBy("kind", "epochs").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (e, h) = (RLTransE.BatchCfg.epochs, RLTransE.BatchCfg.epochs / 2)
+    assert(byKind(("ent", e.toLong)) == nVocab &&
+      byKind(("ent", h.toLong)) == nVocab, s"$byKind vs $nVocab")
+    assert(byKind(("rel", e.toLong)) == nRel &&
+      byKind(("rel", h.toLong)) == nRel)
+    // trained entity rows are L2-normalized — norms ~1 in Float32
+    val dim = RLTransE.BatchCfg.dim
+    import org.apache.spark.sql.functions._
+    val normSq = (0 until dim).map(d => col(s"f$d") * col(s"f$d"))
+      .reduce(_ + _)
+    val off = dump.filter(col("kind") === "ent")
+      .filter(abs(normSq - lit(1.0)) > lit(1e-5)).count()
+    assert(off == 0L, s"$off entity rows off the unit sphere")
+    // the dump row for a vocab value IS the model's valueRow
+    val rid = graph.GraphBuild.Relations.indexOf(RLTransE.ScoredRels.head)
+    val (value, vidx) = m.vocab(rid).head
+    val row = dump.filter(col("kind") === "ent" &&
+      col("epochs") === e.toLong &&
+      col("row_id") === (rid.toLong * m.maxValCount + vidx)).head()
+    val expected = m.valueRow(rid, value).get
+    (0 until dim).foreach(d =>
+      assert(row.getAs[Float](s"f$d") == expected(d), s"dim $d"))
+  }
+
   test("RLTransE refuses data-sized vocabularies instead of OOMing the driver") {
     import spark.implicits._
     // adversarial high-cardinality input: every value unique per row —
