@@ -45,11 +45,54 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 }
 
+/**
+ * Native Catalyst expression `graft_levenshtein(left, right): Int` —
+ * exact edit distance via [[StringSim.levenshtein]] (common
+ * prefix/suffix trim + Myers bit-parallel blocks), a drop-in
+ * replacement for Spark's built-in `levenshtein` whose two-row DP
+ * costs O(|a|x|b|) cell updates per pair (~60k for the ~250-char
+ * contents this engine scores vs ~1k word-ops here). Integer result:
+ * bit-identical to the built-in on the BMP/ASCII content the engine
+ * processes (both count code-unit edits there), and identical to the
+ * DuckDB oracle's `levenshtein`.
+ */
+case class GraftLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_levenshtein expects (string, string), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSim.levenshtein(
+      l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.StringSim.levenshtein($l.toString(), $r.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftLevenshtein =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_levenshtein"
+}
+
 /** Column-API entry points for the custom expressions. */
 object GraftFunctions {
   /** `jaro_winkler(a, b)` as a `Column`, usable in any DataFrame plan. */
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact Levenshtein distance as a `Column` (Myers kernel). */
+  def graft_levenshtein(a: Column, b: Column): Column =
+    Bridge.column(GraftLevenshtein(Bridge.expression(a), Bridge.expression(b)))
 
   /** Thresholded comparator as in the reference (JW@0.85 -> 0/1). */
   def jw_hit(a: Column, b: Column, threshold: Double = 0.85): Column = {

@@ -33,9 +33,18 @@ object StringSim {
     var peq = new Array[Long](128 * 8) // flat [char * blocks + block], all-zero
     var vp = new Array[Long](8)
     var vn = new Array[Long](8)
+    // Jaro fast-path char-position index over s2 (ASCII): `off` holds
+    // per-char segment offsets (counting-sort layout), `ptr` the
+    // per-char consumption cursor, `pos` the positions grouped by char.
+    val off = new Array[Int](130)
+    val ptr = new Array[Int](129)
+    var pos = new Array[Int](256)
     def boolCap(n: Int): Unit = {
       if (m1.length < n) m1 = new Array[Boolean](math.max(n, m1.length * 2))
       if (m2.length < n) m2 = new Array[Boolean](math.max(n, m2.length * 2))
+    }
+    def posCap(n: Int): Unit = {
+      if (pos.length < n) pos = new Array[Int](math.max(n, pos.length * 2))
     }
     def myersCap(bl: Int): Unit = {
       if (vp.length < bl) {
@@ -50,19 +59,76 @@ object StringSim {
     override def initialValue(): Scratch = new Scratch
   }
 
-  /** Jaro similarity in [0,1]. Any empty operand -> 0 (DuckDB semantics, incl. ('','') -> 0). */
-  def jaro(s1: String, s2: String): Double = {
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 128) return false
+      i += 1
+    }
+    true
+  }
+
+  /**
+   * Greedy Jaro matching via per-char position queues (ASCII fast
+   * path): for each i, the first unmatched j in [i-window, i+window]
+   * with s2(j)==s1(i) is exactly the head of char c's position queue
+   * once positions below the window are discarded — the window's lower
+   * bound is non-decreasing in i, so a discarded position can never
+   * re-enter, and a consumed (matched) position is never rescanned.
+   * O(len1+len2) instead of the textbook loop's O(len1*window); the
+   * match SET is identical by construction (same greedy order), so
+   * jaro results are bit-identical to [[matchWindowScan]] (fuzz-pinned
+   * in StringSimSpec).
+   */
+  private def matchAscii(s1: String, s2: String, window: Int,
+                         sc: Scratch): Int = {
     val len1 = s1.length
     val len2 = s2.length
-    if (len1 == 0 || len2 == 0) return 0.0
-    if (s1 == s2) return 1.0
-    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
-    val sc = scratch.get()
-    sc.boolCap(math.max(len1, len2))
+    val off = sc.off
+    val ptr = sc.ptr
+    java.util.Arrays.fill(off, 0, 130, 0)
+    sc.posCap(len2)
+    val pos = sc.pos
+    var j = 0
+    while (j < len2) { off(s2.charAt(j) + 1) += 1; j += 1 }
+    var c = 0
+    while (c < 128) { off(c + 1) += off(c); c += 1 }
+    System.arraycopy(off, 0, ptr, 0, 128)
+    j = 0
+    while (j < len2) {
+      val ch = s2.charAt(j)
+      pos(ptr(ch)) = j
+      ptr(ch) += 1
+      j += 1
+    }
+    System.arraycopy(off, 0, ptr, 0, 128)
     val m1 = sc.m1
     val m2 = sc.m2
-    java.util.Arrays.fill(m1, 0, len1, false)
-    java.util.Arrays.fill(m2, 0, len2, false)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = i - window
+      val hi = math.min(len2 - 1, i + window)
+      val ch = s1.charAt(i)
+      var p = ptr(ch)
+      val end = off(ch + 1)
+      while (p < end && pos(p) < lo) p += 1
+      if (p < end && pos(p) <= hi) {
+        m1(i) = true; m2(pos(p)) = true; matches += 1
+        ptr(ch) = p + 1
+      } else ptr(ch) = p
+      i += 1
+    }
+    matches
+  }
+
+  /** Textbook windowed scan (reference semantics; non-ASCII fallback). */
+  private def matchWindowScan(s1: String, s2: String, window: Int,
+                              sc: Scratch): Int = {
+    val len1 = s1.length
+    val len2 = s2.length
+    val m1 = sc.m1
+    val m2 = sc.m2
     var matches = 0
     var i = 0
     while (i < len1) {
@@ -78,11 +144,30 @@ object StringSim {
       }
       i += 1
     }
+    matches
+  }
+
+  /** Jaro similarity in [0,1]. Any empty operand -> 0 (DuckDB semantics, incl. ('','') -> 0). */
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val sc = scratch.get()
+    sc.boolCap(math.max(len1, len2))
+    val m1 = sc.m1
+    val m2 = sc.m2
+    java.util.Arrays.fill(m1, 0, len1, false)
+    java.util.Arrays.fill(m2, 0, len2, false)
+    val matches =
+      if (isAscii(s1) && isAscii(s2)) matchAscii(s1, s2, window, sc)
+      else matchWindowScan(s1, s2, window, sc)
     if (matches == 0) return 0.0
     // transpositions: matched chars out of order, halved
     var t = 0
     var k = 0
-    i = 0
+    var i = 0
     while (i < len1) {
       if (m1(i)) {
         while (!m2(k)) k += 1

@@ -113,7 +113,7 @@ object Synth {
     }
 
   def orders(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/orders.parquet")
+    graft.sources.Scan.parquet(spark, s"$sfDir/orders.parquet")
 
   /**
    * The synthetic records table. Columns:
@@ -138,7 +138,9 @@ object Synth {
     // pairs (fin->done, open->live, pend->wait) are what VEG links
     val stB = when(col("st") === "F", "done")
       .when(col("st") === "O", "live").otherwise("wait")
-    val priw = lower(regexp_replace(col("pri"), "-", " "))
+    // literal pattern: non-regex replace() is codegen'd string search,
+    // identical output to regexp_replace for a metachar-free pattern
+    val priw = lower(replace(col("pri"), lit("-"), lit(" ")))
     val valtok = floor(col("tp")).cast("bigint").cast("string")
     val ktok = k.cast("string")
     val w1 = wordAt(W1, k % 29)
@@ -171,9 +173,9 @@ object Synth {
     // survive as near-dups. All preserve the 'c<ck>' blocking token.
     val caseB = when(col("k") % 5 === 1,
         concat(upper(cb.substr(lit(1), lit(2))), cb.substr(lit(3), length(cb))))
-      .when(col("k") % 5 === 2, regexp_replace(cb, " val ", "  val "))
+      .when(col("k") % 5 === 2, replace(cb, lit(" val "), lit("  val ")))
       .when(col("k") % 5 === 3, cb.substr(lit(4), length(cb)))
-      .when(col("k") % 5 === 4, regexp_replace(cb, " val ", " value "))
+      .when(col("k") % 5 === 4, replace(cb, lit(" val "), lit(" value ")))
       .otherwise(cb)
     // FN tier: a heavily scrambled B snapshot — keeps the blocking
     // token but drops ~85% of the content, so the true pair lands far

@@ -25,7 +25,7 @@ object Ann {
   case class Vec(vec_id: Long, embedding: Array[Float])
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.sources.Scan.parquet(spark, s"$sfDir/embeddings.parquet")
 
   private def typedVecs(spark: SparkSession, sfDir: String) = {
     import spark.implicits._

@@ -50,14 +50,14 @@ object Sample {
   /** Kept documents with their draw (exported for auditability: the
     * gate is re-checkable row by row downstream). */
   def stratified(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.Scan.parquet(spark, s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), drawCol.as("draw_u20"))
       .filter(col("draw_u20") < rateCol)
 
   /** Per-stratum audit: configured rate, population, kept count —
     * one map-side-combined aggregation over the scan. */
   def strataStats(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.Scan.parquet(spark, s"$sfDir/documents.parquet")
       .select(col("lang"), drawCol.as("draw"), rateCol.as("rate_u20"))
       .groupBy("lang")
       .agg(max("rate_u20").as("rate_u20"),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.Scan.parquet(spark, s"$sfDir/documents.parquet")
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 

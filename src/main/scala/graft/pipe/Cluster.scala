@@ -69,20 +69,29 @@ object Cluster {
    */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val sess = edges.sparkSession
-    var cur = canon(edges).localCheckpoint()
+    // LAZY localCheckpoint: the checksum aggregation right after is the
+    // action that materializes it, so each round costs ONE job instead
+    // of two (eager checkpoint job + checksum job) — the loop is
+    // latency-bound at bench scale, and at any scale this halves the
+    // job count without changing what is computed.
+    var cur = canon(edges).localCheckpoint(false)
     var prev = checksum(cur)
     // iterative rounds over a (usually) small edge set are latency-
     // bound: size the shuffle width to the data instead of inheriting
     // a scoring-stage-wide setting, and restore afterwards.
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    // ~25k edges per task: the old 200k-per-task sizing put the whole
+    // bench-scale loop on ONE task, serializing every round stage; 25k
+    // keeps tasks non-trivial while letting the rounds use the cores.
+    // At real scale the defaultParallelism cap governs, as before.
     val parts = math.max(1L, math.min(
-      sess.sparkContext.defaultParallelism.toLong, prev._1 / 200000 + 1)).toString
+      sess.sparkContext.defaultParallelism.toLong, prev._1 / 25000 + 1)).toString
     sess.conf.set("spark.sql.shuffle.partitions", parts)
     try {
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
-        val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+        val next = canon(smallStar(largeStar(cur))).localCheckpoint(false)
         val cs = checksum(next)
         converged = cs == prev
         prev = cs
@@ -106,8 +115,13 @@ object Cluster {
    */
   def assign(recordIds: DataFrame, edges: DataFrame): DataFrame = {
     val cc = connectedComponents(edges)
+    // shuffled hash, not sort-merge: both sides are id-keyed longs and
+    // the cc side (matched nodes only) is the smaller per partition —
+    // skipping both sort passes is strictly cheaper, and the build side
+    // never grows beyond the record count (guide §3.1).
     recordIds.select(col("id"))
-      .join(cc.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .join(cc.withColumnRenamed("node", "id").hint("shuffle_hash"),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 }

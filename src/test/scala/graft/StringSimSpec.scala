@@ -32,6 +32,77 @@ class StringSimSpec extends AnyFunSuite {
     assert(StringSim.jaroWinkler("x", "y") == 0.0)
   }
 
+  /** Textbook windowed-scan jaro (the pre-round-6 implementation),
+    * kept here as the reference the O(n) per-char-queue matcher must
+    * equal bit-for-bit. */
+  private def jaroRef(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](len1)
+    val m2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val half = t / 2
+    (m / len1 + m / len2 + (m - half) / m) / 3.0
+  }
+
+  test("queue-based jaro matcher == textbook windowed scan on 60k fuzzed pairs") {
+    val rnd = new scala.util.Random(11)
+    // ascii alphabets exercise the O(n) queue path; the last alphabet
+    // forces the non-ascii fallback; near-dup pairs (1-2 edits) are the
+    // hot production shape
+    val alphabets = Seq("ab", "abcdef XY_09", "abcdefghijklmnopqrstuvwxyz 0123456789", "日本語のテキスト abc")
+    var i = 0
+    while (i < 60000) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      def mk(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val a = mk(rnd.nextInt(260))
+      val b = rnd.nextInt(3) match {
+        case 0 => mk(rnd.nextInt(260))
+        case 1 => // substitution near-dup
+          val cs = a.toCharArray
+          if (cs.nonEmpty) cs(rnd.nextInt(cs.length)) = alpha(rnd.nextInt(alpha.length))
+          new String(cs)
+        case _ => // shift near-dup (exercises window lower-bound skipping)
+          a.drop(rnd.nextInt(4)) + mk(rnd.nextInt(4))
+      }
+      val got = StringSim.jaro(a, b)
+      val want = jaroRef(a, b)
+      assert(got == want,
+        s"jaro=$got ref=$want for ${a.take(40)}.. vs ${b.take(40)}..")
+      i += 1
+    }
+  }
+
   test("bit-parallel levenshtein == reference DP on 50k fuzzed pairs") {
     val rnd = new scala.util.Random(7)
     val alphabets = Seq("ab", "abcdef XY_09", "日本語のテキスト abc")
@@ -60,6 +131,29 @@ class StringSimSpec extends AnyFunSuite {
     assert(StringSim.levSim("abcd", "abcd") == 1.0)
     assert(StringSim.levSim("", "") == 1.0)
     assert(StringSim.levSim("ab", "abcd") == 0.5)
+  }
+
+  test("graft_levenshtein Catalyst expression equals Spark's built-in levenshtein") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcdef XY_09"
+    def mk(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (0 until 2000).map { _ =>
+      val a = mk(rnd.nextInt(120))
+      val b = if (rnd.nextBoolean()) {
+        val cs = a.toCharArray
+        if (cs.nonEmpty) cs(rnd.nextInt(cs.length)) = alpha(rnd.nextInt(alpha.length))
+        new String(cs)
+      } else mk(rnd.nextInt(120))
+      (a, b)
+    } :+ (("", "")) :+ (("", "abc")) :+ (("kitten", "sitting"))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      graft.functions.GraftFunctions.graft_levenshtein(col("a"), col("b")).as("got"),
+      levenshtein(col("a"), col("b")).as("want")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
   test("jaro_winkler Catalyst expression equals the Scala kernel and works in SQL") {
