@@ -184,12 +184,15 @@ object KrEar {
 
     def reduceApply(rows: org.apache.spark.sql.Dataset[(Long, Array[Long])],
                     lossSink: Long => Unit): Unit = {
-      val reduced = rows.groupByKey(_._1).reduceGroups { (a, b) =>
-        val s = new Array[Long](a._2.length)
+      // RDD reduceByKey at width 8 (map-side combine, exact long sums
+      // -> order-free) instead of the 64-partition typed shuffle; see
+      // TransE.train for the rationale
+      val reduced = rows.rdd.reduceByKey({ (a, b) =>
+        val s = new Array[Long](a.length)
         var i = 0
-        while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
-        (a._1, s)
-      }.map(_._2).collect()
+        while (i < s.length) { s(i) = a(i) + b(i); i += 1 }
+        s
+      }, 8).collect()
       reduced.foreach { case (id, gv) =>
         if (id == -1L) lossSink(gv(0))
         else {

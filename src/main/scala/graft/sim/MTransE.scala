@@ -126,12 +126,15 @@ object MTransE {
 
     def reduceApply(rows: Dataset[(Long, Array[Long])]): Double = {
       var loss = 0.0
-      val reduced = rows.groupByKey(_._1).reduceGroups { (x, y) =>
-        val s = new Array[Long](x._2.length)
+      // RDD reduceByKey at width 8 (map-side combine, exact long sums
+      // -> order-free) instead of the 64-partition typed shuffle; see
+      // TransE.train for the rationale
+      val reduced = rows.rdd.reduceByKey({ (x, y) =>
+        val s = new Array[Long](x.length)
         var i = 0
-        while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
-        (x._1, s)
-      }.map(_._2).collect()
+        while (i < s.length) { s(i) = x(i) + y(i); i += 1 }
+        s
+      }, 8).collect()
       reduced.foreach { case (id, gv) =>
         if (id == -1L) loss = gv(0) / Micro
         else {

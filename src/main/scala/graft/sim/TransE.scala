@@ -392,13 +392,18 @@ object TransE {
           acc.entrySet().asScala.iterator.map(kv => (kv.getKey, kv.getValue))
       }
       // ONE shuffle: exact element-wise long sums per model row; only
-      // the reduced (model-sized) rows reach the driver.
-      val reduced = grads.groupByKey(_._1).reduceGroups { (a, b) =>
-        val s = new Array[Long](a._2.length)
+      // the reduced (model-sized) rows reach the driver. RDD
+      // reduceByKey at the trainer's own width (8) instead of the
+      // typed groupByKey path: map-side combine plus 8 reduce tasks
+      // per epoch, not a session-wide 64-partition encoder shuffle —
+      // long sums are commutative/associative, so the reduced values
+      // are bit-identical under any partitioning.
+      val reduced = grads.rdd.reduceByKey({ (a, b) =>
+        val s = new Array[Long](a.length)
         var i = 0
-        while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
-        (a._1, s)
-      }.map(_._2).collect()
+        while (i < s.length) { s(i) = a(i) + b(i); i += 1 }
+        s
+      }, 8).collect()
 
       reduced.foreach { case (id, gv) =>
         if (id == -1L) losses(epoch) = gv(0) / Micro
