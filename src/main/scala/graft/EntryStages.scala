@@ -99,8 +99,13 @@ object EntryStages {
       Blocking.withBlockKey(Normalize(records(spark, sfDir)))
     }
 
+  // cached like keyed/scoredp: ~15 verify-surface queries re-derived
+  // the salted blocking join per call otherwise (the hot-key agg + the
+  // widest exchange of the session, once per caller)
   def cand(spark: SparkSession, sfDir: String): DataFrame =
-    Blocking.candidates(keyed(spark, sfDir))
+    cached(spark, sfDir, "cand") {
+      Blocking.candidates(keyed(spark, sfDir))
+    }
 
   /**
    * Portable per-pair features: Jaro-Winkler via the custom Catalyst
