@@ -116,6 +116,37 @@ object Synth {
     graft.sources.Scan.parquet(spark, s"$sfDir/orders.parquet")
 
   /**
+   * Once-per-JVM untimed warm pass over the keyed+blocking stages
+   * (r5 verdict item #5: "run the keyed+blocking stage once untimed so
+   * the driver artifact measures the engine, not JIT+page-cache
+   * noise"; the bench harness is frozen, so the warm lives here, on
+   * the first records() call — which in graft.Bench happens inside the
+   * UNTIMED stage-construction line). Computes the same plan shapes
+   * the timed stages run (cache build included, so the janino-compiled
+   * whole-stage classes and their C2 compilations are shared via the
+   * JVM-wide codegen cache), discards everything through the noop sink
+   * and unpersists — nothing is kept, every timed stage still computes
+   * from parquet.
+   */
+  private val pipelineWarmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def warmPipeline(spark: SparkSession, df: DataFrame): Unit = {
+    if (!pipelineWarmed.compareAndSet(false, true)) return
+    try {
+      spark.sparkContext.setJobDescription(
+        "warm: untimed keyed+blocking pass (JIT/codegen only)")
+      val keyed = graft.pipe.Blocking.withBlockKey(
+        graft.pipe.Normalize(df)).persist()
+      keyed.count()
+      graft.pipe.Blocking.candidates(keyed)
+        .write.format("noop").mode("overwrite").save()
+      keyed.unpersist(true)
+      ()
+    } catch { case _: Throwable => () }
+    finally spark.sparkContext.setJobDescription(null)
+  }
+
+  /**
    * The synthetic records table. Columns:
    * id (unique long, 2k/2k+1), side ('A'/'B'), repo, path, commit,
    * lang, content, dni (truth entity id), split (train/val/test),
@@ -198,7 +229,7 @@ object Synth {
         col("custtok"), col("lang"), col("ext"), contentB.as("content"),
         col("st_b").as("st")) ++ fieldCols: _*)
 
-    sideA.unionByName(sideB).select(
+    val out = sideA.unionByName(sideB).select(
       col("id"), col("side"),
       concat(lit("repo"), (col("ck") % 50).cast("string")).as("repo"),
       concat(lit("src/"), col("custtok"), lit("/f"), col("k").cast("string"),
@@ -208,5 +239,7 @@ object Synth {
       when(col("k") % 10 < 6, "train").when(col("k") % 10 < 8, "val")
         .otherwise("test").as("split"),
       col("st"), col("w1f"), col("prif"), col("valf"))
+    warmPipeline(spark, out)
+    out
   }
 }
